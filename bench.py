@@ -1,0 +1,100 @@
+"""Benchmark harness — one JSON line on stdout (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS], plus the end-to-end KG pipeline over a
+deterministic synthetic pages corpus (the engine's real workload), and prints:
+
+  {"metric": "kg_triples_per_sec", "value": N, "unit": "sec"-per-query map, ...}
+
+Set KGX_BENCH_PAGES to size the pages corpus (default 4000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q07_composite_join",
+    "q13_map_collect",
+    "q16_topk_per_group",
+    "q25_sessionize",
+    "t01_dedup_exact",
+    "t03_lang_id",
+    "t07_minhash_clusters",
+    "s01_cosine_topk",
+    "s03_ann_lsh",
+]
+
+
+def _ensure_pages_fixture(n: int) -> str:
+    """Deterministic pages parquet, cached under /tmp keyed by n."""
+    path = f"/tmp/kgx_bench_pages_{n}"
+    marker = os.path.join(path, "_SUCCESS_KGX")
+    if not os.path.exists(marker):
+        from kgx.fixtures import write_fixture
+
+        os.makedirs(path, exist_ok=True)
+        write_fixture(path, n=n)
+        open(marker, "w").close()
+    return os.path.join(path, "pages.parquet")
+
+
+def run_bench(sf_dir: str, cpus: int, n_pages: int) -> dict:
+    from kgx.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(
+        master=f"local[{cpus}]", shuffle_partitions=2 * cpus, app_name="kgx-bench"
+    )
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    # end-to-end KG pipeline throughput (triples/sec)
+    from kgx import pipeline
+
+    pages_path = _ensure_pages_fixture(n_pages)
+    pages = spark.read.parquet(pages_path)
+    t0 = time.perf_counter()
+    n_triples = pipeline.build_triples(spark, pages).count()
+    kg_sec = time.perf_counter() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+    triples_per_sec = round(n_triples / kg_sec, 1)
+
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "kg_pages": n_pages,
+        "kg_triples": n_triples,
+        "kg_triples_per_sec": triples_per_sec,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("KGX_BENCH_PAGES", "4000"))
+    result = run_bench(sf_dir, cpus, n_pages)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,255 @@
+"""Entity canonicalization: MinHash-LSH blocking + connected components.
+
+Replaces the reference's O(n^2) pairwise similarity loop + networkx
+connected_components (scripts/analysis/PDD_categorization.py:46-74) with the
+scale path mandated by BASELINE.json:north_rule:
+
+1. normalize surface + character-3-gram shingles — pure JVM expressions
+   (lower/regexp_replace/substring via transform over a sequence), no Python;
+2. MinHash signature: 64 hashes = array_min over xxhash64(shingle, seed_i)
+   (deterministic across any parallelism — critical for N-vs-4N reproducibility,
+   SURVEY.md §7 "LSH determinism");
+3. banding b=32 x r=2: P(miss | Jaccard 0.5) = (1 - 0.25)^32 ≈ 1e-4, so
+   candidate recall is effectively total at the similarity levels that matter,
+   while candidate count stays near-linear;
+4. candidate pairs = self-equi-join on (band_id, band_hash) — a hash-partitioned
+   shuffle join on the band key, NEVER an all-pairs product;
+5. exact-Jaccard verification on the full shingle sets (array_intersect /
+   array_union) >= threshold — LSH is only a blocker, correctness comes from the
+   exact check, so output is deterministic given the input set;
+6. connected components via iterative min-label propagation over the edge list
+   (GraphFrames is not on this classpath; this is the standard large/small-star
+   contraction in its simple min-neighbor form), localCheckpoint each round to
+   cut lineage — component diameter bounds iterations (variant clusters are
+   shallow; the loop exits when no label changes);
+7. representative per component = min (normalized, raw) surface, matching the
+   golden rule in kgx.fixtures._canon_groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 64
+N_BANDS = 32  # r = 2 rows per band
+JACCARD_THRESHOLD = 0.4
+
+
+def normalize_col(col):
+    """JVM-side mirror of kernel.normalize_surface (tested for parity)."""
+    s = F.lower(col)
+    s = F.regexp_replace(s, "[^a-z0-9 ]+", " ")
+    s = F.regexp_replace(s, "\\s+", " ")
+    return F.trim(s)
+
+
+def shingle_col(norm_col, k: int = 3):
+    """Sorted distinct k-grams; JVM mirror of kernel.shingles."""
+    n = F.length(norm_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.substring(norm_col, i + 1, k),
+    )
+    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_sort(F.array_distinct(grams))
+    )
+
+
+def token_shingle_col(norm_col, k: int = 3):
+    """Token k-gram shingles (word-level) — the right granularity for document
+    near-dup (char grams saturate on small vocabularies); falls back to the
+    whole string when shorter than k tokens."""
+    toks = F.split(norm_col, " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+    )
+    return F.when(n < k, F.array(norm_col)).otherwise(
+        F.array_sort(F.array_distinct(grams))
+    )
+
+
+def surfaces_with_shingles(mentions: DataFrame, shingle: str = "char") -> DataFrame:
+    """distinct surface -> (surface, norm, sh_hash, sig).
+
+    sh_hash = distinct xxhash64 of each shingle — hashing each shingle STRING
+    once and verifying Jaccard on the long arrays keeps both the signature
+    derivation and the exact check cheap on long documents. The (surface, norm,
+    sh_hash) projection is localCheckpoint'ed so Catalyst's projection collapse
+    cannot inline the shingling expression 64x into the signature transform
+    (observed: 22s -> ~1s on 500 documents).
+    """
+    grams = shingle_col(F.col("norm")) if shingle == "char" else token_shingle_col(F.col("norm"))
+    df = (
+        mentions.select("surface")
+        .distinct()
+        .withColumn("norm", normalize_col(F.col("surface")))
+        .withColumn(
+            "sh_hash",
+            F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g))),
+        )
+        .filter(F.size("sh_hash") > 0)
+        .localCheckpoint()
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda h: F.array_min(
+            F.transform(F.col("sh_hash"), lambda x: F.xxhash64(x, h))
+        ),
+    )
+    return df.withColumn("sig", sig)
+
+
+def candidate_pairs(surf: DataFrame, bucket_cap: int | None = None) -> DataFrame:
+    """LSH banding self-join -> distinct candidate (a, b) pairs, a < b.
+
+    Scale hygiene:
+    - the band join carries ONLY (surface, band keys); shingle-set payloads are
+      joined back for surviving candidates, so the widest shuffle here is
+      O(#surfaces x #bands) narrow rows, not wide arrays;
+    - ``bucket_cap`` drops band buckets with more than that many members — the
+      standard guard against degenerate/boilerplate buckets that would
+      otherwise quadratically explode one task (hot-key skew); capped buckets
+      lose only candidates that other, less-common bands still surface.
+    """
+    r = N_HASHES // N_BANDS
+    bands = surf.select(
+        "surface",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.xxhash64(
+                    F.element_at("sig", b * r + 1), F.element_at("sig", b * r + 2)
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "band_hash")
+        bands = bands.withColumn("_n", F.count("*").over(w)).filter(
+            F.col("_n") <= bucket_cap
+        ).drop("_n")
+    left = bands.select("band_id", "band_hash", F.col("surface").alias("a"))
+    right = bands.select("band_id", "band_hash", F.col("surface").alias("b"))
+    pairs = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    sets = surf.select("surface", "sh_hash")
+    return (
+        pairs.join(sets.select(F.col("surface").alias("a"),
+                               F.col("sh_hash").alias("sh_a")), "a")
+        .join(sets.select(F.col("surface").alias("b"),
+                          F.col("sh_hash").alias("sh_b")), "b")
+    )
+
+
+def verified_edges(pairs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Exact Jaccard on full shingle sets — the correctness gate after blocking."""
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b")
+    )
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(surface) x (a,b) -> (surface, component) by min-label propagation.
+
+    Deterministic: labels are min(xxhash64(surface)) over the component.
+    localCheckpoint each iteration cuts lineage (SURVEY.md §7 'What's hard').
+    """
+    sym = edges.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        edges.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    labels = nodes.select(
+        F.col("surface").alias("x"), F.xxhash64("surface").alias("label")
+    ).localCheckpoint()
+    sym = sym.localCheckpoint()
+
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels.withColumnRenamed("x", "y"), "y")
+            .groupBy("x")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "x", "left")
+            .select(
+                "x",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "x")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("x").alias("surface"), F.col("label").alias("component"))
+
+
+def canonical_mapping(
+    mentions: DataFrame,
+    known: DataFrame | None = None,
+    shingle: str = "char",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """mentions(surface,...) -> (surface, rep): representative per component.
+
+    rep = surface of the min (norm, surface) struct in the component — struct
+    min gives lexicographic ordering, identical to the golden rule.
+
+    ``known`` is an optional persisted (surface, rep) dictionary from earlier
+    snapshot commits (the cross-run stickiness dimension): known surfaces join
+    the node set, known groupings are injected as edges, and a component that
+    contains previously-assigned reps keeps the smallest of them, so triples
+    committed in earlier runs stay consistent with new ones.
+    """
+    nodes = mentions.select("surface").distinct()
+    if known is not None:
+        nodes = nodes.unionByName(known.select("surface")).unionByName(
+            known.select(F.col("rep").alias("surface"))
+        ).distinct()
+    surf = surfaces_with_shingles(nodes, shingle=shingle)
+    edges = verified_edges(candidate_pairs(surf, bucket_cap=bucket_cap))
+    if known is not None:
+        known_edges = (
+            known.filter(F.col("surface") != F.col("rep"))
+            .select(F.col("surface").alias("a"), F.col("rep").alias("b"))
+            .distinct()
+        )
+        edges = edges.unionByName(known_edges).dropDuplicates(["a", "b"])
+    comp = connected_components(surf.select("surface"), edges)
+    with_norm = comp.join(surf.select("surface", "norm"), "surface")
+    reps = (
+        with_norm.groupBy("component")
+        .agg(F.min(F.struct("norm", "surface")).alias("_rep"))
+        .select("component", F.col("_rep.surface").alias("rep"))
+    )
+    if known is not None:
+        sticky = (
+            with_norm.join(
+                known.select(F.col("rep").alias("surface")).distinct(), "surface"
+            )
+            .groupBy("component")
+            .agg(F.min(F.struct("norm", "surface")).alias("_k"))
+            .select("component", F.col("_k.surface").alias("krep"))
+        )
+        reps = (
+            reps.join(sticky, "component", "left")
+            .select("component", F.coalesce("krep", "rep").alias("rep"))
+        )
+    return with_norm.join(reps, "component").select("surface", "rep")

@@ -1,0 +1,161 @@
+"""Manifest-backed atomic snapshot store: Iceberg-semantics resume without the jar.
+
+The reference's resumability primitives — processed-set exclusion
+(tools/utils.py:39-48, verra_scraper.py:49-51) and the Redis content-hash cache
+(initial_pipeline/app.py:70-81,309-317) — become:
+
+- input rows hashed into ``n_buckets`` url-buckets (pmod(xxhash64(url), n));
+- each commit unit = a group of buckets, written to ``data/unit=<id>/`` via a
+  temp-dir + atomic rename, then a manifest JSON (the per-partition lineage
+  record: buckets, row counts, violation counters, content-sha range) is
+  written with the same tmp+rename pattern;
+- resume = anti-join: pages whose bucket is already in the manifest are skipped
+  (left anti semantics, cheap because it's a metadata filter on a derived
+  column, not a join against the data itself);
+- readers see only manifested units, so a killed run never exposes partial data.
+
+On a real cluster this module is the swap-in point for Iceberg:
+``df.writeTo(tbl).append()`` gives the same snapshot-commit semantics and the
+manifest becomes the snapshot summary properties.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bucket_col(url_col, n_buckets: int):
+    return F.pmod(F.xxhash64(url_col), F.lit(n_buckets)).cast("int")
+
+
+class TripleStore:
+    def __init__(self, root: str, n_buckets: int = 16):
+        self.root = root
+        self.n_buckets = n_buckets
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(root, "manifest")
+        self.staging_dir = os.path.join(root, "staging")
+        self.entities_dir = os.path.join(root, "entities")
+        for d in (self.data_dir, self.manifest_dir, self.staging_dir, self.entities_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------------
+    def manifests(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def committed_buckets(self) -> set[int]:
+        done: set[int] = set()
+        for m in self.manifests():
+            done.update(m["buckets"])
+        return done
+
+    # -- write ---------------------------------------------------------------
+    def commit(self, triples: DataFrame, buckets: list[int], metrics: dict) -> str:
+        """Atomically materialize one commit unit: data rename, then manifest."""
+        unit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        final_dir = os.path.join(self.data_dir, f"unit={unit_id}")
+        tmp_dir = os.path.join(self.root, f"_tmp-{unit_id}")
+        # partition the files by pred, salt the write by subj-hash so one hot
+        # predicate doesn't serialize into a single task (SURVEY.md §4 skew row)
+        (
+            triples.repartition(
+                max(triples.sparkSession.sparkContext.defaultParallelism, 4),
+                "pred",
+                F.pmod(F.xxhash64("subj"), F.lit(64)),
+            )
+            .write.mode("overwrite")
+            .partitionBy("pred")
+            .parquet(tmp_dir)
+        )
+        os.rename(tmp_dir, final_dir)  # atomic on one FS; Iceberg commit stand-in
+        manifest = {
+            "unit": unit_id,
+            "buckets": sorted(buckets),
+            "metrics": metrics,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        tmp_mf = os.path.join(self.manifest_dir, f"_tmp-{unit_id}.json")
+        with open(tmp_mf, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.rename(tmp_mf, os.path.join(self.manifest_dir, f"{unit_id}.json"))
+        return unit_id
+
+    # -- read ----------------------------------------------------------------
+    def read(self, spark: SparkSession) -> DataFrame:
+        units = [m["unit"] for m in self.manifests()]
+        paths = [os.path.join(self.data_dir, f"unit={u}") for u in units]
+        if not paths:
+            from kgx.schema import TRIPLES
+
+            return spark.createDataFrame([], TRIPLES)
+        df = spark.read.option("basePath", self.data_dir).parquet(*paths)
+        return df.drop("unit")
+
+    # -- staging (phase A of a run: facts persisted before global canon) -------
+    def stage(self, facts: DataFrame, key: str, buckets: list[int]) -> None:
+        tmp = os.path.join(self.root, f"_stage-tmp-{key}")
+        facts.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, os.path.join(self.staging_dir, f"unit={key}"))
+        meta = {"key": key, "buckets": sorted(buckets)}
+        tmp_mf = os.path.join(self.staging_dir, f"_tmp-{key}.json")
+        with open(tmp_mf, "w") as f:
+            json.dump(meta, f)
+        os.rename(tmp_mf, os.path.join(self.staging_dir, f"stage-{key}.json"))
+
+    def staged(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.staging_dir)):
+            if name.startswith("stage-") and name.endswith(".json"):
+                with open(os.path.join(self.staging_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def read_staged(self, spark: SparkSession, key: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.staging_dir, f"unit={key}"))
+
+    def consume_staged(self, key: str) -> None:
+        import shutil
+
+        mf = os.path.join(self.staging_dir, f"stage-{key}.json")
+        if os.path.exists(mf):
+            os.remove(mf)
+        d = os.path.join(self.staging_dir, f"unit={key}")
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    # -- persistent entity dictionary (cross-run canonicalization stickiness) ---
+    def known_entities(self, spark: SparkSession) -> DataFrame | None:
+        parts = [
+            os.path.join(self.entities_dir, d)
+            for d in sorted(os.listdir(self.entities_dir))
+            if not d.startswith("_")
+        ]
+        if not parts:
+            return None
+        return spark.read.parquet(*parts).select("surface", "rep").distinct()
+
+    def save_entities(self, mapping: DataFrame) -> None:
+        key = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        tmp = os.path.join(self.root, f"_ent-tmp-{key}")
+        mapping.select("surface", "rep").write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, os.path.join(self.entities_dir, key))
+
+    def pending(self, pages: DataFrame) -> tuple[DataFrame, list[int]]:
+        """Resume filter: drop pages whose bucket already committed."""
+        done = self.committed_buckets()
+        todo = [b for b in range(self.n_buckets) if b not in done]
+        col = bucket_col(F.col("url"), self.n_buckets)
+        return pages.withColumn("_bucket", col).filter(
+            ~F.col("_bucket").isin(list(done)) if done else F.lit(True)
+        ), todo

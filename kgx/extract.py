@@ -1,0 +1,135 @@
+"""contexts -> facts -> validated triples.
+
+Replaces the reference's per-row OpenAI loop (scripts/run_pipeline.py:76-105)
+with a deterministic, schema-guided extractor running inside Arrow-batched
+mapInPandas — the batched-inference seam where a real model would slot in
+(load once per worker, score a batch at a time).
+
+Methodology codes are validated with a broadcast LEFT SEMI join against the
+CDM-style dimension (ground_truth_project_detail_formatter.py:110,178-179);
+proponent surfaces are emitted as a side channel for canonicalization; the
+structured-output JSON Schemas of initial_pipeline/section/*.py become
+from_json StructTypes + required-field constraint checks in validate_triples.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark.sql.types import ArrayType
+
+from kgx import kernel
+from kgx.config import METHODOLOGY_CODES
+from kgx.schema import FACTS, OBJ_SCHEMAS, REQUIRED_FIELDS
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # a real-model variant would load the model here, once per worker
+    for pdf in batches:
+        out: dict[str, list] = {f.name: [] for f in FACTS.fields}
+        for row in pdf.itertuples(index=False):
+            fact = kernel.extract_fact(row.category, row.context or "")
+            if fact is None:
+                continue
+            codes = surfaces = None
+            obj = kernel.canonical_json(fact)
+            if row.category == "methodology":
+                codes = fact  # validated relationally downstream
+                obj = None
+            elif row.category == "project_proponents":
+                surfaces = [p["organization_name"] for p in fact]
+            out["url"].append(row.url)
+            out["warc_ts"].append(row.warc_ts)
+            out["content_sha"].append(row.content_sha)
+            out["pred"].append(row.category)
+            out["obj"].append(obj)
+            out["codes"].append(codes)
+            out["surfaces"].append(surfaces)
+        yield pd.DataFrame(out)
+
+
+def extract_facts(contexts: DataFrame) -> DataFrame:
+    return contexts.mapInPandas(_extract_batches, schema=FACTS)
+
+
+def methodology_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([(c,) for c in METHODOLOGY_CODES], "code string")
+
+
+def validate_methodologies(facts: DataFrame, dim: DataFrame) -> DataFrame:
+    """Explode codes -> broadcast left semi join -> re-collect sorted array.
+
+    to_json(array_sort(collect_list)) is byte-equal to the kernel's
+    canonical_json of a sorted string list (both emit compact JSON).
+    """
+    meth = facts.filter(F.col("pred") == "methodology")
+    others = facts.filter(F.col("pred") != "methodology")
+    valid = (
+        meth.select(
+            "url", "warc_ts", "content_sha", "pred",
+            F.explode("codes").alias("code"),
+        )
+        .join(F.broadcast(dim), "code", "left_semi")
+        .groupBy("url", "warc_ts", "content_sha", "pred")
+        .agg(
+            F.to_json(F.array_sort(F.collect_list("code"))).alias("obj")
+        )
+        .withColumn("codes", F.lit(None).cast("array<string>"))
+        .withColumn("surfaces", F.lit(None).cast("array<string>"))
+        .select([f.name for f in FACTS.fields])
+    )
+    return others.unionByName(valid)
+
+
+def validate_triples(triples: DataFrame) -> tuple[DataFrame, dict[str, int]]:
+    """Structured-output constraint checks (SURVEY.md §1.2 'schema system').
+
+    Parses each obj with its per-pred StructType via from_json and counts:
+    - parse failures (obj not conforming to the declared schema),
+    - required-field nulls (the JSON-Schema `required` mirror).
+    Returns (triples_with_valid_flag, violation_counters). On healthy input the
+    counters are zero; they are emitted with every snapshot commit.
+    """
+    checks = []
+    for pred, schema in OBJ_SCHEMAS.items():
+        if pred == "sector":
+            # scalar JSON payload: from_json needs struct/array/map, so check the
+            # (stronger) two-label domain constraint directly
+            # (ground_truth_project_detail_formatter.py:155-156)
+            checks.append(
+                (pred, F.col("obj").rlike('^"(Renewable Energy|Forestry and Land Use)"$'))
+            )
+            continue
+        parsed = F.from_json("obj", schema)
+        ok = parsed.isNotNull()
+        def _null_field(f):
+            # NB: a 2-arg lambda would be treated as (element, index) by
+            # pyspark's higher-order functions — bind the field via closure.
+            return lambda x: x[f].isNull()
+
+        for field in REQUIRED_FIELDS.get(pred, []):
+            if isinstance(schema, ArrayType):
+                # array<struct>: every element must carry the required field
+                ok = ok & (F.size(F.filter(parsed, _null_field(field))) == 0)
+            else:
+                ok = ok & parsed[field].isNotNull()
+        checks.append((pred, ok))
+
+    valid_col = F.lit(False)
+    for pred, ok in checks:
+        valid_col = F.when(F.col("pred") == pred, ok).otherwise(valid_col)
+    flagged = triples.withColumn("valid", valid_col)
+    counts = (
+        flagged.groupBy("pred")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(~F.col("valid"), 1).otherwise(0)).alias("violations"),
+        )
+        .collect()
+    )
+    metrics = {r["pred"]: {"rows": r["n"], "violations": r["violations"]} for r in counts}
+    return flagged, metrics

@@ -1,0 +1,183 @@
+"""Similarity search over the `embeddings` table (array<float>, dim 64).
+
+- s01: brute-force cosine top-k — the exactness baseline. JVM-side dot product
+  via zip_with/aggregate after casting to double; broadcast the (small) query
+  side so the scan side streams without a shuffle.
+- s02: embedding-cosine near-duplicate pairs above a threshold.
+- s03: LSH-bucketed ANN (random hyperplane signatures, Hamming-band blocking) —
+  the scale path: candidates come from equi-joined signature bands instead of a
+  full cross product; exact cosine re-ranks candidates. Rows-only oracle
+  (recall vs s01 is asserted in tests instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kgx.ops import load
+
+K = 3
+N_QUERIES = 10  # vec_id < 10 are queries; the rest is the corpus
+
+
+def _dvec(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _split(spark: SparkSession, sf: str):
+    e = load(spark, sf, "embeddings").withColumn("v", _dvec(F.col("embedding")))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), "label"
+    )
+    return q, c
+
+
+def s01_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    q, c = _split(spark, sf)
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cos", F.round(_cosine(F.col("qv"), F.col("cv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "cand_id", "rank", "cos")
+    )
+
+
+S01_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+     c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings
+           WHERE vec_id >= {N_QUERIES}),
+     s AS (SELECT query_id, cand_id,
+                  ROUND(list_dot_product(qv, cv)
+                        / (sqrt(list_dot_product(qv, qv))
+                           * sqrt(list_dot_product(cv, cv))), 6) AS cos
+           FROM q, c)
+SELECT query_id, cand_id, rank, cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, cand_id) AS rank
+  FROM s
+) WHERE rank <= {K}
+"""
+
+
+SIM_THRESHOLD = 0.3  # embedding-similarity pair threshold (label-blocked)
+
+
+def s02_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine similar pairs within each label block (>= threshold).
+
+    The blocking column keeps the self-join linear in block sizes — the same
+    shape as near-dup detection over shard/domain blocks at corpus scale."""
+    e = load(spark, sf, "embeddings").withColumn("v", _dvec(F.col("embedding")))
+    a = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "label")
+    b = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), "label")
+    return (
+        a.join(b, "label")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(_cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= SIM_THRESHOLD)
+        .select("a", "b", "cos")
+    )
+
+
+S02_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       ROUND(list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v))
+                * sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+FROM e x JOIN e y
+  ON x.label = y.label AND x.vec_id < y.vec_id
+WHERE list_dot_product(x.v, y.v)
+      / (sqrt(list_dot_product(x.v, x.v))
+         * sqrt(list_dot_product(y.v, y.v))) >= {SIM_THRESHOLD}
+"""
+
+
+# --- LSH-bucketed ANN: random-hyperplane signature + band join ---------------------- #
+# 8 bands x 2 bits: for a pair at cosine ~0.4 (the top-neighbor regime of the
+# test corpus) per-bit collision ~0.63 -> band ~0.40 -> candidate recall
+# 1-(1-0.40)^8 ~ 0.98. Tighten bits-per-band for corpora with stronger
+# similarity structure (real near-dups sit at cosine > 0.9 where 4-bit bands
+# still collide reliably and prune much harder).
+N_PLANES = 16
+N_BANDS_ANN = 8  # 2 bits per band
+
+
+def _rh_signature(vec_col):
+    """Deterministic random-hyperplane signature: plane p weight for dim i is a
+    hash-derived value in [-1, 1); sign of the projection is bit p. Pure JVM."""
+    def proj(p):
+        weighted = F.zip_with(
+            vec_col,
+            F.sequence(F.lit(0), F.size(vec_col) - 1),
+            lambda x, i: x * ((F.pmod(F.xxhash64(i, F.lit(p)), F.lit(2000)) - 1000) / 1000.0),
+        )
+        return F.aggregate(weighted, F.lit(0.0), lambda a, v: a + v)
+
+    return F.array(*[F.when(proj(p) >= 0, 1).otherwise(0) for p in range(N_PLANES)])
+
+
+def s03_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN top-k: hyperplane-LSH band blocking -> exact cosine re-rank.
+
+    At corpus scale the band join replaces the q x c cross product; candidate
+    recall is tested against s01 in tests/test_simsearch.py.
+    """
+    q, c = _split(spark, sf)
+    bits_per_band = N_PLANES // N_BANDS_ANN
+
+    def banded(df, vcol, idcol):
+        sig = _rh_signature(F.col(vcol))
+        bands = F.transform(
+            F.sequence(F.lit(0), F.lit(N_BANDS_ANN - 1)),
+            lambda b: F.concat_ws(
+                "",
+                F.transform(
+                    F.slice(sig, b * bits_per_band + 1, bits_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            ),
+        )
+        return df.select(
+            idcol, vcol, F.posexplode(bands).alias("band_id", "band_sig")
+        )
+
+    qb = banded(q, "qv", "query_id")
+    cb = banded(c, "cv", "cand_id")
+    cand = (
+        qb.join(cb, ["band_id", "band_sig"])
+        .select("query_id", "qv", "cand_id", "cv")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    scored = cand.withColumn("cos", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "cand_id", "rank", "cos")
+    )
+
+
+QUERIES = {
+    "s01_cosine_topk": (s01_cosine_topk, S01_SQL),
+    "s02_neardup_pairs": (s02_neardup_pairs, S02_SQL),
+    "s03_ann_lsh": (s03_ann_lsh, None),
+}

@@ -1,0 +1,243 @@
+"""Training-data pipeline text operators over the `documents` table.
+
+The large-scale corpus-hygiene suite the task brief asks for beyond the
+reference's own operators: exact + near dedup, language ID, quality scoring,
+token counting, fingerprinting. Everything stays JVM-side (split / filter /
+aggregate / hash built-ins) except where noted; near-dup MinHash reuses the
+kgx.canon LSH machinery (same code path as entity canonicalization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kgx.ops import load
+
+# small English stopword list shared verbatim with the SQL oracles
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+_SW_LIT = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _tokens(col):
+    return F.split(F.trim(F.lower(col)), "\\s+")
+
+
+# --- exact dedup: hash-groupBy, keep min doc_id ------------------------------ #
+def t01_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    return (
+        d.withColumn("content_md5", F.md5("text"))
+        .withColumn("keep_id", F.min("doc_id").over(w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(
+            "doc_id", "content_md5",
+            (F.col("doc_id") != F.col("keep_id")).cast("int").alias("is_dup"),
+        )
+    )
+
+
+T01_SQL = """
+SELECT doc_id, md5(text) AS content_md5,
+       CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text))
+            THEN 1 ELSE 0 END AS is_dup
+FROM documents
+"""
+
+
+# --- token counting: whitespace + BPE-ish subword estimate -------------------- #
+def t02_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    ws = F.size(_tokens(F.col("text")))
+    # BPE-ish: alnum runs + single non-space punctuation marks
+    bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+|[^a-z0-9\\s]"), 0))
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+T02_SQL = """
+SELECT doc_id,
+       len(string_split_regex(trim(lower(text)), '\\s+'))                 AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))     AS bpe_tokens,
+       length(text)                                                       AS n_chars
+FROM documents
+"""
+
+
+# --- language ID: stopword-ratio heuristic ------------------------------------ #
+def t03_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    sw = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    ratio = F.round(sw / F.greatest(F.size(toks), F.lit(1)), 4)
+    return d.select(
+        "doc_id",
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("other").alias("lang_pred"),
+    )
+
+
+T03_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(len(list_filter(toks, x -> x IN ({_SW_LIT})))::DOUBLE
+             / greatest(len(toks), 1), 4) AS stopword_ratio,
+       CASE WHEN ROUND(len(list_filter(toks, x -> x IN ({_SW_LIT})))::DOUBLE
+                 / greatest(len(toks), 1), 4) >= 0.05
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM t
+"""
+
+
+# --- quality score: length/punct/stopword composition --------------------------- #
+def t04_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    sw_ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    punct = F.length(F.regexp_replace("text", "[^.,;:!?]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    len_score = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
+    score = F.round(0.5 * len_score + 0.4 * sw_ratio + 0.1 * (1 - punct), 4)
+    return d.select("doc_id", score.alias("quality"))
+
+
+T04_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(0.5 * least(length(text) / 500.0, 1.0)
+           + 0.4 * (len(list_filter(toks, x -> x IN ({_SW_LIT})))::DOUBLE
+                    / greatest(len(toks), 1))
+           + 0.1 * (1 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                        / greatest(length(text), 1)), 4) AS quality
+FROM t
+"""
+
+
+# --- fingerprint: md5 of whitespace-normalized text ------------------------------ #
+def t05_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    norm = F.regexp_replace(F.trim(F.lower("text")), "\\s+", " ")
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+T05_SQL = """
+SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+# --- n-gram Jaccard near-dup pairs (within source blocks) -------------------------- #
+def t06_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-3-gram Jaccard >= 0.5 pairs, blocked by `source`.
+
+    Blocking keeps the self-join O(sum of block^2) instead of O(n^2); the
+    unblocked scale path is t07 (MinHash-LSH).
+    """
+    d = load(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+            lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+        )
+    )
+    g = d.select("doc_id", "source", grams.alias("grams"))
+    a = g.select(F.col("doc_id").alias("a"), "source", F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("b"), "source", F.col("grams").alias("gb"))
+    jac = F.size(F.array_intersect("ga", "gb")) / F.size(F.array_union("ga", "gb"))
+    return (
+        a.join(b, "source")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a", "b", "jaccard")
+    )
+
+
+T06_SQL = """
+WITH g AS (
+  SELECT doc_id, source,
+         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        for i in range(1, greatest(len(toks) - 3, 0) + 2)]) AS grams
+  FROM (SELECT doc_id, source,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents)
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       ROUND(len(list_intersect(x.grams, y.grams))::DOUBLE
+             / len(list_distinct(list_concat(x.grams, y.grams))), 4) AS jaccard
+FROM g x JOIN g y ON x.source = y.source AND x.doc_id < y.doc_id
+WHERE len(list_intersect(x.grams, y.grams))::DOUBLE
+      / len(list_distinct(list_concat(x.grams, y.grams))) >= 0.5
+"""
+
+
+# --- MinHash-LSH near-dup clusters (the scale path; no SQL oracle) ------------------ #
+def t07_minhash_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Whole-corpus near-dup clustering via the kgx.canon LSH+CC machinery.
+
+    Not SQL-expressible (iterative CC) — driver records a rows-only check;
+    determinism is covered by tests/test_textops.py instead.
+    """
+    from kgx import canon
+
+    d = load(spark, sf, "documents")
+    mentions = d.select(F.col("text").alias("surface"))
+    # token shingles (char grams saturate on narrow vocabularies) + a bucket
+    # cap against degenerate band buckets
+    mapping = canon.canonical_mapping(mentions, shingle="token", bucket_cap=1000)
+    joined = d.join(mapping, d.text == mapping.surface, "left")
+    clusters = joined.select(
+        "doc_id", F.md5(F.coalesce("rep", "text")).alias("cluster_key")
+    )
+    w = Window.partitionBy("cluster_key")
+    return clusters.withColumn("cluster_size", F.count("*").over(w)).select(
+        "doc_id", "cluster_key", "cluster_size"
+    )
+
+
+# --- SimHash (64-bit, xxhash64 token hashing; no SQL oracle) ------------------------- #
+def t08_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bit SimHash, fully JVM-side: per-token xxhash64, per-bit sign sums via
+    aggregate() over the token array, bits reassembled with bit ops."""
+    d = load(spark, sf, "documents")
+    # SQL expression form: the Python-API shiftright/shiftleft demand literal
+    # shift amounts, but the SQL functions take column operands.
+    sim = (
+        "aggregate("
+        "  zip_with("
+        "    transform(sequence(0, 63), b -> aggregate("
+        "      array_distinct(split(trim(lower(text)), '\\\\s+')), 0,"
+        "      (acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1"
+        "                             THEN 1 ELSE -1 END)),"
+        "    sequence(0, 63),"
+        "    (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),"
+        "  0L, (acc, x) -> acc | x) AS simhash"
+    )
+    return d.selectExpr("doc_id", sim)
+
+
+QUERIES = {
+    "t01_dedup_exact": (t01_dedup_exact, T01_SQL),
+    "t02_token_count": (t02_token_count, T02_SQL),
+    "t03_lang_id": (t03_lang_id, T03_SQL),
+    "t04_quality_score": (t04_quality_score, T04_SQL),
+    "t05_fingerprint": (t05_fingerprint, T05_SQL),
+    "t06_ngram_jaccard_pairs": (t06_ngram_jaccard_pairs, T06_SQL),
+    "t07_minhash_clusters": (t07_minhash_clusters, None),
+    "t08_simhash": (t08_simhash, None),
+}

@@ -1,0 +1,213 @@
+"""End-to-end KG-construction pipeline: pages -> triples.
+
+One lazy DataFrame chain (SURVEY.md §3.1 rebuild):
+pages -> kernel_pass (mapInPandas: html->text + validated headings)
+      -> lead-window section spans -> broadcast category match -> body slice
+      -> chunk/score/top-k contexts -> schema-guided extraction (mapInPandas)
+      -> broadcast semi-join methodology validation
+      -> MinHash-LSH + connected-components canonicalization of proponent orgs
+      -> (subj, pred, obj) triples with lineage columns.
+
+spark-submit entry point at the bottom (--py-files packaging: ship the kgx/
+directory as a zip; no driver-side collects in the hot path).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kgx import canon, extract, kernel, sections, textextract
+
+
+def subj_col(url_col):
+    """JVM mirror of kernel.page_id_from_url (tested for parity)."""
+    return F.concat(F.lit("proj:"), F.regexp_extract(url_col, "([^/]+)/*$", 1))
+
+
+_REWRITE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("content_sha", T.StringType(), True),
+        T.StructField("pred", T.StringType(), False),
+        T.StructField("obj", T.StringType(), True),
+    ]
+)
+
+
+def _rewrite_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        objs = []
+        for obj, m in zip(pdf["obj"], pdf["mapping"]):
+            props = json.loads(obj)
+            mapping = {d["surface"]: d["rep"] for d in m} if m is not None else {}
+            for p in props:
+                name = p.get("organization_name")
+                if name in mapping:
+                    p["organization_name"] = mapping[name]
+            objs.append(kernel.canonical_json(props))
+        yield pd.DataFrame(
+            {
+                "url": pdf["url"],
+                "warc_ts": pdf["warc_ts"],
+                "content_sha": pdf["content_sha"],
+                "pred": pdf["pred"],
+                "obj": objs,
+            }
+        )
+
+
+def canonicalize_proponents(facts: DataFrame, mapping: DataFrame | None = None) -> DataFrame:
+    """Rewrite proponent org names to their canonical representative.
+
+    ``mapping`` (surface -> rep) may be precomputed GLOBALLY across commit
+    units — required for multi-unit runs, where a per-unit mapping would pick
+    unit-local representatives and drift from the corpus-wide canonicalization
+    (caught by verification: 2-unit run disagreed with the one-shot run on
+    ~2.6%% of proponent triples until the mapping was hoisted)."""
+    props = facts.filter(F.col("pred") == "project_proponents")
+    others = facts.filter(F.col("pred") != "project_proponents").select(
+        "url", "warc_ts", "content_sha", "pred", "obj"
+    )
+    if mapping is None:
+        mentions = props.select(F.explode("surfaces").alias("surface"))
+        mapping = canon.canonical_mapping(mentions)
+
+    exploded = props.select(
+        "url", "warc_ts", "content_sha", "pred", "obj",
+        F.explode("surfaces").alias("surface"),
+    )
+    with_rep = exploded.join(mapping, "surface", "left").withColumn(
+        "rep", F.coalesce("rep", "surface")
+    )
+    per_fact = with_rep.groupBy("url", "warc_ts", "content_sha", "pred", "obj").agg(
+        F.collect_set(F.struct("surface", "rep")).alias("mapping")
+    )
+    rewritten = per_fact.mapInPandas(_rewrite_batches, schema=_REWRITE_SCHEMA)
+    return others.unionByName(rewritten)
+
+
+def extract_stage(spark: SparkSession, pages: DataFrame) -> DataFrame:
+    """pages -> validated facts (everything before canonicalization)."""
+    kdf = textextract.kernel_pass(pages)
+    ctx = sections.build_contexts(spark, kdf)
+    facts = extract.extract_facts(ctx)
+    return extract.validate_methodologies(facts, extract.methodology_dim(spark))
+
+
+def _to_triples(final: DataFrame) -> DataFrame:
+    return final.select(
+        subj_col(F.col("url")).alias("subj"),
+        "pred",
+        "obj",
+        F.col("url").alias("src_url"),
+        "warc_ts",
+        "content_sha",
+    )
+
+
+def build_triples(
+    spark: SparkSession, pages: DataFrame, mapping: DataFrame | None = None
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> triples DF (not yet written)."""
+    facts = extract_stage(spark, pages)
+    return _to_triples(canonicalize_proponents(facts, mapping))
+
+
+def run_checkpointed(
+    spark: SparkSession,
+    pages: DataFrame,
+    store,
+    groups: int = 4,
+) -> list[str]:
+    """Resumable three-phase run over `groups` commit units.
+
+    Phase A — per unit: extract + validate facts, persist to staging (atomic;
+    a killed run resumes from surviving staged units without re-extracting).
+    Phase B — ONE global canonical mapping over all staged surfaces, seeded by
+    the store's persisted entity dictionary so representatives stay consistent
+    across runs (sticky reps); deterministic, so a killed phase C recomputes
+    the identical mapping on resume.
+    Phase C — per staged unit: rewrite proponents with the shared mapping,
+    snapshot-commit triples + violation metrics, then consume the staging.
+
+    Each commit is atomic with per-partition lineage + counters
+    (BASELINE.json:north_rule); readers never see a partial unit.
+    """
+    pending, todo = store.pending(pages)
+
+    # phase A: stage pending buckets that are not already staged or committed
+    already_staged: set[int] = set()
+    for s in store.staged():
+        already_staged.update(s["buckets"])
+    to_stage = [b for b in todo if b not in already_staged]
+    per = max(1, -(-len(todo) // groups)) if todo else 1
+    for g in range(0, len(to_stage), per):
+        chunk = to_stage[g : g + per]
+        subset = pending.filter(F.col("_bucket").isin(chunk)).drop("_bucket")
+        facts = extract_stage(spark, subset)
+        key = f"{min(chunk):04d}-{max(chunk):04d}"
+        store.stage(facts, key, chunk)
+
+    staged_units = store.staged()
+    if not staged_units:
+        return []
+
+    # phase B: one global mapping across every staged unit + known dictionary
+    all_facts = [store.read_staged(spark, s["key"]) for s in staged_units]
+    mentions = None
+    for f in all_facts:
+        m = f.filter(F.col("pred") == "project_proponents").select(
+            F.explode("surfaces").alias("surface")
+        )
+        mentions = m if mentions is None else mentions.unionByName(m)
+    known = store.known_entities(spark)
+    mapping = canon.canonical_mapping(mentions, known=known).localCheckpoint()
+    # persist BEFORE commits: a run killed mid-phase-C resumes with the exact
+    # same representative assignment (mapping is deterministic given its node
+    # set, and the saved dictionary carries the full node set forward)
+    store.save_entities(mapping)
+
+    # phase C: commit each staged unit with the shared mapping
+    unit_ids = []
+    committed = store.committed_buckets()
+    for s, facts in zip(staged_units, all_facts):
+        if set(s["buckets"]) <= committed:
+            # killed between commit and consume on a previous run: don't double-commit
+            store.consume_staged(s["key"])
+            continue
+        final = canonicalize_proponents(facts, mapping)
+        flagged, metrics = extract.validate_triples(_to_triples(final))
+        unit_ids.append(store.commit(flagged.drop("valid"), s["buckets"], metrics))
+        store.consume_staged(s["key"])
+    return unit_ids
+
+
+def main() -> None:  # pragma: no cover — spark-submit entry
+    import argparse
+
+    from kgx.checkpoint import TripleStore
+    from kgx.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="parquet path of the pages table")
+    ap.add_argument("--out", required=True, help="triple-store root directory")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--groups", type=int, default=8)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="kgx-pipeline")
+    pages = spark.read.parquet(args.pages)
+    store = TripleStore(args.out, n_buckets=args.buckets)
+    units = run_checkpointed(spark, pages, store, groups=args.groups)
+    print(json.dumps({"committed_units": units}))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,50 @@
+"""SparkSession factory: Arrow on, AQE on, UTC, seedable shuffle sizing.
+
+Scale posture (SURVEY.md §4): AQE handles runtime coalescing and skew-join
+splitting; Arrow batches feed every pandas UDF; shuffle partitions default to a
+multiple of cores locally and should be set to ~2-3x total executor cores on a
+real cluster. Iceberg catalog wiring would be added here (`spark.sql.catalog.*`)
+— the jar is not on this sandbox classpath, so the table layer lives in
+kgx.checkpoint with the same commit semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    app_name: str = "kgx",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        if master.startswith("local["):
+            inner = master[len("local[") : -1]
+            n = os.cpu_count() if inner == "*" else int(inner)
+        else:
+            n = int(cpus) if cpus else (os.cpu_count() or 8)
+        shuffle_partitions = max(8, 2 * int(n))
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # large html blobs: keep Arrow batches bounded (SURVEY.md §2.11)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("KGX_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,72 @@
+"""Canonicalization: JVM shingle/normalize parity + LSH+CC vs golden grouping."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kgx import canon, fixtures, kernel
+
+
+def test_normalize_and_shingles_jvm_parity(spark):
+    surfaces = [v for o in fixtures.ORGS for v in o["variants"]] + [
+        "  Weird--Name!! (X) ", "ab", "", "A.B.C. Holdings, S.A."
+    ]
+    df = spark.createDataFrame([(s,) for s in surfaces], "surface string")
+    got = {
+        r.surface: (r.norm, list(r.sh))
+        for r in df.select(
+            "surface",
+            canon.normalize_col(F.col("surface")).alias("norm"),
+            canon.shingle_col(canon.normalize_col(F.col("surface"))).alias("sh"),
+        ).collect()
+    }
+    for s in surfaces:
+        assert got[s][0] == kernel.normalize_surface(s), s
+        expected = kernel.shingles(s)
+        if expected:
+            assert got[s][1] == expected, s
+
+
+def test_lsh_blocking_finds_variant_pairs(spark):
+    surfaces = [v for o in fixtures.ORGS for v in o["variants"]]
+    mentions = spark.createDataFrame([(s,) for s in surfaces], "surface string")
+    surf = canon.surfaces_with_shingles(mentions)
+    edges = canon.verified_edges(canon.candidate_pairs(surf)).collect()
+    edge_set = {(e.a, e.b) for e in edges}
+    # every intra-org pair with exact Jaccard >= threshold must be blocked+kept
+    missed = []
+    for o in fixtures.ORGS:
+        vs = o["variants"]
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                a, b = sorted((vs[i], vs[j]))
+                if kernel.jaccard(kernel.shingles(a), kernel.shingles(b)) >= canon.JACCARD_THRESHOLD:
+                    if (a, b) not in edge_set:
+                        missed.append((a, b))
+    assert not missed, missed
+    # and no cross-org edges (pool names are distinct enough)
+    by_org = {v: o["org_id"] for o in fixtures.ORGS for v in o["variants"]}
+    cross = [(a, b) for a, b in edge_set if by_org[a] != by_org[b]]
+    assert not cross, cross
+
+
+def test_canonical_mapping_matches_golden(spark):
+    pages = fixtures.gen_pages(200)
+    gold = {e["surface"]: e["canonical"] for e in fixtures.golden_entities(pages)}
+    mentions = spark.createDataFrame([(s,) for s in gold], "surface string")
+    got = {r.surface: r.rep for r in canon.canonical_mapping(mentions).collect()}
+    assert got == gold
+
+
+def test_connected_components_chain(spark):
+    nodes = spark.createDataFrame([(s,) for s in "abcde"], "surface string")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "a string, b string"
+    )
+    comp = canon.connected_components(nodes, edges)
+    labels = {r.surface: r.component for r in comp.collect()}
+    assert labels["a"] == labels["b"] == labels["c"]
+    assert labels["d"] == labels["e"]
+    assert labels["a"] != labels["d"]

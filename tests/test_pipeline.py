@@ -1,0 +1,90 @@
+"""Spark pipeline vs the golden single-process reference-semantics extractor.
+
+The P/R >= 0.95 gate of BASELINE.json:north_rule, plus the per-row
+byte-identical text invariant and the schema constraint checks.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kgx import extract, fixtures, kernel, pipeline, sections, textextract
+
+N_PAGES = 200
+
+
+@pytest.fixture(scope="module")
+def pages_rows():
+    return fixtures.gen_pages(N_PAGES)
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark, pages_rows):
+    return spark.createDataFrame(pd.DataFrame(pages_rows)).cache()
+
+
+@pytest.fixture(scope="module")
+def kernel_df(spark, pages_df):
+    return textextract.kernel_pass(pages_df).cache()
+
+
+def test_extracted_text_byte_identical_per_url(spark, pages_df, pages_rows):
+    got = {r.url: r.text for r in textextract.extracted_text(pages_df).collect()}
+    for p in pages_rows:
+        assert got[p["url"]] == p["text"], p["url"]
+
+
+def test_lead_window_spans_match_kernel(spark, pages_rows, kernel_df):
+    spans = sections.section_spans(textextract.heading_rows(kernel_df))
+    got = {
+        (r.url, r.start_off): (r.end_off, r.body_off)
+        for r in spans.collect()
+    }
+    n = 0
+    for p in pages_rows:
+        for s in kernel.sections_from_text(p["text"]):
+            assert got[(p["url"], s["start_off"])] == (s["end_off"], s["body_off"])
+            n += 1
+    assert n == len(got) > 0
+
+
+def test_contexts_match_golden(spark, pages_rows, kernel_df):
+    ctx = sections.build_contexts(spark, kernel_df)
+    got = {(r.url, r.category, r.context) for r in ctx.collect()}
+    gold = {
+        (c["url"], c["category"], c["context"])
+        for c in fixtures.golden_contexts(pages_rows)
+    }
+    assert got == gold
+
+
+def test_triples_pr_vs_golden(spark, pages_df, pages_rows):
+    tri = pipeline.build_triples(spark, pages_df)
+    got = {(r.subj, r.pred, r.obj) for r in tri.collect()}
+    gold = {
+        (t["subj"], t["pred"], t["obj"]) for t in fixtures.golden_triples(pages_rows)
+    }
+    inter = got & gold
+    precision = len(inter) / len(got)
+    recall = len(inter) / len(gold)
+    assert precision >= 0.95, f"precision {precision}"
+    assert recall >= 0.95, f"recall {recall}"
+
+
+def test_constraint_checks_zero_violations(spark, pages_df):
+    tri = pipeline.build_triples(spark, pages_df)
+    flagged, metrics = extract.validate_triples(tri)
+    assert metrics, "no metrics"
+    for pred, m in metrics.items():
+        assert m["violations"] == 0, (pred, m)
+    assert flagged.filter(~F.col("valid")).count() == 0
+
+
+def test_subj_col_matches_kernel(spark):
+    urls = ["https://a.example.com/proj/000123", "https://b.example.org/x/proj9"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r.url: r.s for r in df.select("url", pipeline.subj_col(F.col("url")).alias("s")).collect()}
+    for u in urls:
+        assert got[u] == kernel.page_id_from_url(u)

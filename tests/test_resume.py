@@ -1,0 +1,87 @@
+"""Checkpoint/resume: kill-and-rerun produces identical triples, no double work.
+
+Mirrors the reference's processed-set exclusion (tools/utils.py:39-48) and
+content-hash cache (initial_pipeline/app.py:70-81) semantics.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kgx import fixtures, pipeline
+from kgx.checkpoint import TripleStore
+
+
+@pytest.fixture(scope="module")
+def small_pages(spark):
+    return spark.createDataFrame(pd.DataFrame(fixtures.gen_pages(60))).cache()
+
+
+def _triple_set(df):
+    return {(r.subj, r.pred, r.obj) for r in df.select("subj", "pred", "obj").collect()}
+
+
+class _KillAfterFirstCommit(TripleStore):
+    """Store that dies after its first successful snapshot commit —
+    simulates a mid-phase-C crash through the REAL code path."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._commits = 0
+
+    def commit(self, *a, **kw):
+        if self._commits >= 1:
+            raise RuntimeError("simulated crash after first commit")
+        self._commits += 1
+        return super().commit(*a, **kw)
+
+
+def test_kill_and_resume_identical(spark, small_pages, tmp_path):
+    oneshot = _triple_set(pipeline.build_triples(spark, small_pages))
+
+    root = str(tmp_path / "store")
+    crashing = _KillAfterFirstCommit(root, n_buckets=8)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipeline.run_checkpointed(spark, small_pages, crashing, groups=3)
+
+    partial = _triple_set(crashing.read(spark))
+    assert partial and partial < oneshot
+
+    # resume with a fresh store handle: must finish the remaining units and
+    # reproduce the one-shot output exactly (incl. canonical org names)
+    store = TripleStore(root, n_buckets=8)
+    units = pipeline.run_checkpointed(spark, small_pages, store, groups=3)
+    assert units
+    assert _triple_set(store.read(spark)) == oneshot
+
+    # idempotent: a third run commits nothing
+    assert pipeline.run_checkpointed(spark, small_pages, store, groups=3) == []
+
+
+def test_multi_unit_run_equals_oneshot(spark, small_pages, tmp_path):
+    """Global canonical mapping: unit boundaries must not change triples."""
+    oneshot = _triple_set(pipeline.build_triples(spark, small_pages))
+    store = TripleStore(str(tmp_path / "mu"), n_buckets=8)
+    pipeline.run_checkpointed(spark, small_pages, store, groups=4)
+    assert _triple_set(store.read(spark)) == oneshot
+
+
+def test_manifest_metrics_recorded(spark, small_pages, tmp_path):
+    store = TripleStore(str(tmp_path / "m"), n_buckets=4)
+    pipeline.run_checkpointed(spark, small_pages, store, groups=1)
+    ms = store.manifests()
+    assert len(ms) == 1
+    assert sorted(ms[0]["buckets"]) == [0, 1, 2, 3]
+    metrics = ms[0]["metrics"]
+    assert sum(m["rows"] for m in metrics.values()) > 0
+    assert all(m["violations"] == 0 for m in metrics.values())
+
+
+def test_lineage_content_sha_present(spark, small_pages, tmp_path):
+    store = TripleStore(str(tmp_path / "l"), n_buckets=2)
+    pipeline.run_checkpointed(spark, small_pages, store, groups=1)
+    df = store.read(spark)
+    assert df.filter(F.col("content_sha").isNull()).count() == 0
+    assert df.filter(F.length("content_sha") != 64).count() == 0

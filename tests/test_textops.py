@@ -1,0 +1,44 @@
+"""Text / dedup / similarity ops: determinism and recall properties not covered
+by the SQL oracles (t07 minhash clusters, t08 simhash, s03 ANN recall)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgx.ops import simsearch, textops
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_clusters_deterministic_and_cover_all_docs(spark):
+    a = textops.t07_minhash_clusters(spark, SF)
+    rows_a = {(r.doc_id, r.cluster_key) for r in a.collect()}
+    rows_b = {(r.doc_id, r.cluster_key) for r in textops.t07_minhash_clusters(spark, SF).collect()}
+    assert rows_a == rows_b
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len({d for d, _ in rows_a}) == n_docs
+
+
+def test_simhash_deterministic_and_64bit(spark):
+    a = {r.doc_id: r.simhash for r in textops.t08_simhash(spark, SF).collect()}
+    b = {r.doc_id: r.simhash for r in textops.t08_simhash(spark, SF).collect()}
+    assert a == b
+    assert all(isinstance(v, int) for v in a.values())
+    # near-identical docs must agree on most bits: sanity via self-comparison
+    assert len(a) == spark.read.parquet(f"{SF}/documents.parquet").count()
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    exact = simsearch.s01_cosine_topk(spark, SF)
+    approx = simsearch.s03_ann_lsh(spark, SF)
+    e = {(r.query_id, r.cand_id) for r in exact.collect()}
+    a = {(r.query_id, r.cand_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_exact_dedup_marks_no_dups_on_unique_corpus(spark):
+    d = textops.t01_dedup_exact(spark, SF)
+    # driver corpus is all-unique; every doc keeps itself
+    assert d.filter(F.col("is_dup") == 1).count() == 0
