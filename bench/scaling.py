@@ -1,0 +1,119 @@
+"""Two-parallelism scaling harness (BASELINE.json:north_rule evidence).
+
+Runs the identical end-to-end KG job (pages -> triples, one-shot build) on the
+same input at local[N] and local[4N] — the sandbox stand-in for N vs 4N
+executors — and reports throughput at both plus scaling efficiency
+(T_N / T_4N) / 4. Writes/updates BENCH/BASELINE.md.
+
+Usage: python bench/scaling.py [n_pages] [low_cpus] [high_cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _pages_fixture(n: int) -> str:
+    path = f"/tmp/kgx_bench_pages_{n}"
+    marker = os.path.join(path, "_SUCCESS_KGX")
+    if not os.path.exists(marker):
+        from kgx.fixtures import write_fixture, write_pages_chunked
+
+        os.makedirs(path, exist_ok=True)
+        if n > 50_000:
+            write_pages_chunked(path, n=n)
+        else:
+            write_fixture(path, n=n, golden=False)
+        open(marker, "w").close()
+    return os.path.join(path, "pages.parquet")
+
+
+def run_once(pages_path: str, cpus: int) -> tuple[float, int]:
+    from kgx import pipeline
+    from kgx.session import get_spark
+
+    # split at SCAN time (no repartition shuffle of the fat html column):
+    # size maxPartitionBytes so the file yields ~4 tasks per core
+    fsize = os.path.getsize(pages_path)
+    mpb = max(1 << 20, fsize // (4 * cpus))
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+        app_name=f"kgx-scaling-{cpus}",
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(mpb)},
+    )
+    pages = spark.read.parquet(pages_path)
+    # warm the JVM and the Python worker pool (steady-state measurement: worker
+    # spawn + module import are one-time costs, not throughput)
+    import pandas as pd
+
+    def _ident(bs):
+        for b in bs:
+            yield pd.DataFrame({"url": b["url"]})
+
+    pages.select("url").mapInPandas(_ident, "url string").count()
+    t0 = time.perf_counter()
+    n = pipeline.build_triples(spark, pages).count()
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return dt, n
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    pages_path = _pages_fixture(n_pages)
+
+    t_low, n_low = run_once(pages_path, low)
+    t_high, n_high = run_once(pages_path, high)
+    assert n_low == n_high, (n_low, n_high)
+    speedup = t_low / t_high
+    efficiency = speedup / (high / low)
+    result = {
+        "n_pages": n_pages,
+        "n_triples": n_low,
+        "low_cpus": low,
+        "high_cpus": high,
+        "sec_low": round(t_low, 2),
+        "sec_high": round(t_high, 2),
+        "triples_per_sec_low": round(n_low / t_low, 1),
+        "triples_per_sec_high": round(n_high / t_high, 1),
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+    }
+    print(json.dumps(result))
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH — two-parallelism scaling evidence\n\n"
+            "Identical end-to-end KG job (pages -> triples, one-shot "
+            "`kgx.pipeline.build_triples`) on the same deterministic synthetic "
+            "corpus at two parallelism levels — the sandbox stand-in for N vs "
+            "4N executors (BASELINE.json:north_rule). The reference publishes "
+            "no throughput numbers (strictly sequential per-document loop, "
+            "BASELINE.md), so throughput here is measured against the "
+            "north-rule targets, not a reference figure.\n\n"
+            f"| metric | local[{low}] | local[{high}] |\n|---|---|---|\n"
+            f"| wall seconds | {result['sec_low']} | {result['sec_high']} |\n"
+            f"| triples/sec | {result['triples_per_sec_low']} | "
+            f"{result['triples_per_sec_high']} |\n\n"
+            f"- corpus: {n_pages} pages -> {n_low} triples (P/R = 1.0 vs golden "
+            "at test scale; see tests/test_pipeline.py)\n"
+            f"- speedup {low}->{high} cores: **{result['speedup']}x** "
+            f"(ideal {high // low}x)\n"
+            f"- scaling efficiency: **{result['scaling_efficiency']}** "
+            "(target >= 0.8)\n\n"
+            "Reproduce: `python bench/scaling.py "
+            f"{n_pages} {low} {high}`\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

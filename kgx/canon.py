@@ -161,12 +161,127 @@ def verified_edges(pairs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Da
     )
 
 
-def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20) -> DataFrame:
+DRIVER_CC_MAX_EDGES = 2_000_000  # collect threshold for the union-find fast path
+DRIVER_CANON_MAX_SURFACES = 1000  # collect threshold for whole-mapping fast path
+
+
+def _py_shingles(surface: str, shingle: str) -> frozenset[str]:
+    from kgx import kernel
+
+    norm = kernel.normalize_surface(surface)
+    if shingle == "char":
+        return frozenset(kernel.shingles(surface))
+    toks = norm.split()
+    if not toks:
+        return frozenset()
+    if len(toks) < 3:
+        return frozenset([norm])
+    return frozenset(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2))
+
+
+def _driver_canonical_mapping(spark, nodes, known, shingle, threshold):
+    """Pure-driver exact mapping for small dictionaries (same semantics as the
+    distributed path: exact-Jaccard >= threshold edges, known-group edges,
+    sticky known reps, min-(norm,surface) representative)."""
+    from kgx import kernel
+
+    surfaces = [r[0] for r in nodes.collect()]
+    known_pairs = (
+        [(r["surface"], r["rep"]) for r in known.collect()] if known is not None else []
+    )
+    parent: dict[str, str] = {s: s for s in surfaces}
+    for s, rep in known_pairs:
+        parent.setdefault(s, s)
+        parent.setdefault(rep, rep)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    names = sorted(parent)
+    shs = {s: _py_shingles(s, shingle) for s in names}
+    for i, a in enumerate(names):
+        sa = shs[a]
+        if not sa:
+            continue
+        for b in names[i + 1 :]:
+            sb = shs[b]
+            if not sb:
+                continue
+            inter = len(sa & sb)
+            if inter and inter / len(sa | sb) >= threshold:
+                union(a, b)
+    for s, rep in known_pairs:
+        union(s, rep)
+
+    comps: dict[str, list[str]] = {}
+    for s in parent:
+        comps.setdefault(find(s), []).append(s)
+    known_reps = {rep for _, rep in known_pairs}
+    rows = []
+    for members in comps.values():
+        cands = [m for m in members if m in known_reps] or members
+        rep = min(cands, key=lambda v: (kernel.normalize_surface(v), v))
+        rows.extend((m, rep) for m in members)
+    return spark.createDataFrame(rows, "surface string, rep string")
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
     """(surface) x (a,b) -> (surface, component) by min-label propagation.
 
-    Deterministic: labels are min(xxhash64(surface)) over the component.
-    localCheckpoint each iteration cuts lineage (SURVEY.md §7 'What's hard').
+    Two physical strategies, same semantics:
+    - small graphs (entity dictionaries after blocking are typically tiny
+      relative to the corpus): collect the edge list and union-find on the
+      driver — the iterative version costs ~10s of pure scheduler latency for
+      a 40-node graph, which dominates small-corpus runs;
+    - large graphs: distributed min-label propagation with localCheckpoint per
+      round to cut lineage (SURVEY.md §7 'What's hard'); deterministic labels
+      (min xxhash64(surface) over the component).
+    Component ids differ between the two paths (min-surface vs min-hash) but
+    grouping — the only thing consumers use — is identical.
     """
+    n_edges = edges.limit(DRIVER_CC_MAX_EDGES + 1).count()
+    if n_edges <= DRIVER_CC_MAX_EDGES:
+        return _driver_cc(nodes, edges)
+    return _distributed_cc(nodes, edges, max_iter)
+
+
+def _driver_cc(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    surfaces = [r[0] for r in nodes.select("surface").distinct().collect()]
+    for s in surfaces:
+        parent[s] = s
+    for a, b in edges.select("a", "b").collect():
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min keeps labels deterministic regardless of edge order
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(s, find(s)) for s in parent]
+    spark = nodes.sparkSession
+    return spark.createDataFrame(rows, "surface string, component string")
+
+
+def _distributed_cc(nodes: DataFrame, edges: DataFrame, max_iter: int = 20) -> DataFrame:
     sym = edges.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
         edges.select(F.col("b").alias("x"), F.col("a").alias("y"))
     )
@@ -223,6 +338,21 @@ def canonical_mapping(
         nodes = nodes.unionByName(known.select("surface")).unionByName(
             known.select(F.col("rep").alias("surface"))
         ).distinct()
+    # size the stage to the dictionary, not the session: a few-thousand-surface
+    # dictionary on 64 shuffle partitions means every downstream stage pays for
+    # dozens of empty tasks (measured: the whole mapping phase was SLOWER on 32
+    # cores than 8 before this)
+    n = nodes.count()
+    if n <= DRIVER_CANON_MAX_SURFACES:
+        # tiny dictionary: ~10 near-empty distributed jobs cost more scheduler
+        # latency than the whole computation — do exact all-pairs on the driver
+        # (strictly more candidate recall than LSH blocking, same exact-Jaccard
+        # gate, same rep rule)
+        return _driver_canonical_mapping(
+            mentions.sparkSession, nodes, known, shingle, JACCARD_THRESHOLD
+        )
+    parts = max(1, min(200, n // 50_000 + 1))
+    nodes = nodes.repartition(parts)
     surf = surfaces_with_shingles(nodes, shingle=shingle)
     edges = verified_edges(candidate_pairs(surf, bucket_cap=bucket_cap))
     if known is not None:

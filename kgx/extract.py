@@ -56,6 +56,48 @@ def extract_facts(contexts: DataFrame) -> DataFrame:
     return contexts.mapInPandas(_extract_batches, schema=FACTS)
 
 
+def _fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        out: dict[str, list] = {f.name: [] for f in FACTS.fields}
+        for url, warc_ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+            raw = bytes(html)
+            text = kernel.html_to_text(raw)
+            sha = hashlib.sha256(raw).hexdigest()
+            for cat, fact in kernel.page_facts(text):
+                codes = surfaces = None
+                obj = kernel.canonical_json(fact)
+                if cat == "methodology":
+                    codes, obj = fact, None
+                elif cat == "project_proponents":
+                    surfaces = [p["organization_name"] for p in fact]
+                out["url"].append(url)
+                out["warc_ts"].append(warc_ts)
+                out["content_sha"].append(sha)
+                out["pred"].append(cat)
+                out["obj"].append(obj)
+                out["codes"].append(codes)
+                out["surfaces"].append(surfaces)
+        yield pd.DataFrame(out)
+
+
+def extract_facts_fused(pages: DataFrame) -> DataFrame:
+    """pages -> facts in ONE Arrow pass (html->text, headings, spans, category,
+    context top-k, extraction — all row-local kernel work).
+
+    This is the hot path at scale: the relational decomposition
+    (kgx.textextract + kgx.sections + extract_facts) computes identical output
+    — asserted by tests/test_pipeline.py — but spends ~6 shuffles and ~40
+    scheduler stages on per-document work; fused, the whole per-page chain is
+    embarrassingly parallel and the only shuffles left are the genuinely
+    cross-document ones (methodology semi-join re-collect, canonicalization,
+    the partitioned write)."""
+    return pages.select("url", "warc_ts", "html").mapInPandas(
+        _fused_batches, schema=FACTS
+    )
+
+
 def methodology_dim(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([(c,) for c in METHODOLOGY_CODES], "code string")
 

@@ -330,15 +330,7 @@ def golden_triples(pages: list[dict]) -> list[dict]:
     out = []
     for p in pages:
         subj = kernel.page_id_from_url(p["url"])
-        for s in kernel.sections_from_text(p["text"]):
-            cat = kernel.categorize_heading(s["title"])
-            if cat is None:
-                continue
-            body = p["text"][s["body_off"] : s["end_off"]].strip()
-            ctx = kernel.select_context(body, cat)
-            fact = kernel.extract_fact(cat, ctx)
-            if fact is None:
-                continue
+        for cat, fact in kernel.page_facts(p["text"]):
             if cat == "methodology":
                 fact = [c for c in fact if c in valid_codes]
                 if not fact:
@@ -360,13 +352,10 @@ def golden_triples(pages: list[dict]) -> list[dict]:
     return out
 
 
-def write_fixture(out_dir: str, n: int = 200, seed: int = SEED) -> None:
-    """Write pages.parquet + golden_*.parquet with pyarrow (no Spark needed)."""
+def _pages_table(pages: list[dict]):
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    pages = gen_pages(n, seed)
-    pa_pages = pa.table(
+    return pa.table(
         {
             "url": [p["url"] for p in pages],
             "warc_ts": pa.array([p["warc_ts"] for p in pages], pa.timestamp("us")),
@@ -375,10 +364,26 @@ def write_fixture(out_dir: str, n: int = 200, seed: int = SEED) -> None:
             "lang": [p["lang"] for p in pages],
         }
     )
+
+
+def write_fixture(
+    out_dir: str, n: int = 200, seed: int = SEED, golden: bool = True
+) -> None:
+    """Write pages.parquet (+ golden_*.parquet) with pyarrow (no Spark needed)."""
     import os
 
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     os.makedirs(out_dir, exist_ok=True)
-    pq.write_table(pa_pages, f"{out_dir}/pages.parquet")
+    pages = gen_pages(n, seed)
+    # small row groups: Spark's scan-time splitting (maxPartitionBytes) can only
+    # parallelize across row-group boundaries — one giant group = one task
+    pq.write_table(
+        _pages_table(pages), f"{out_dir}/pages.parquet", row_group_size=256
+    )
+    if not golden:
+        return
     for name, rows in (
         ("golden_sections", golden_sections(pages)),
         ("golden_contexts", golden_contexts(pages)),
@@ -388,3 +393,28 @@ def write_fixture(out_dir: str, n: int = 200, seed: int = SEED) -> None:
         if rows:
             cols = {k: [r[k] for r in rows] for k in rows[0]}
             pq.write_table(pa.table(cols), f"{out_dir}/{name}.parquet")
+
+
+def write_pages_chunked(
+    out_dir: str, n: int, seed: int = SEED, chunk: int = 50_000
+) -> None:
+    """Large bench corpora: stream pages to one parquet file in row groups so
+    memory stays bounded (no golden tables at this scale)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    writer = None
+    # chunks must reproduce gen_pages(n, seed) exactly: a single RNG stream
+    rng_pages = gen_pages(n, seed)  # generation itself is the memory bound;
+    # rows are handed to arrow in slices so the arrow buffers stay chunked
+    try:
+        for i in range(0, n, chunk):
+            t = _pages_table(rng_pages[i : i + chunk])
+            if writer is None:
+                writer = pq.ParquetWriter(f"{out_dir}/pages.parquet", t.schema)
+            writer.write_table(t, row_group_size=256)
+    finally:
+        if writer is not None:
+            writer.close()

@@ -459,6 +459,26 @@ def extract_fact(category: str, context: str):
     return _EXTRACTORS[category](context)
 
 
+def page_facts(text: str) -> list[tuple[str, object]]:
+    """Full per-page fact extraction: sections -> categorize -> context ->
+    extract, in one pass. This is the single-document composition of the
+    kernels above, shared by the golden generator and the FUSED Spark path
+    (one Arrow batch pass per page instead of six relational stages — the
+    per-document work is row-local, so distributing it stage-by-stage only
+    buys shuffle and scheduler overhead at scale)."""
+    out: list[tuple[str, object]] = []
+    for s in sections_from_text(text):
+        cat = categorize_heading(s["title"])
+        if cat is None:
+            continue
+        body = text[s["body_off"] : s["end_off"]].strip()
+        ctx = select_context(body, cat)
+        fact = extract_fact(cat, ctx)
+        if fact is not None:
+            out.append((cat, fact))
+    return out
+
+
 def canonical_json(obj) -> str:
     """Deterministic canonical JSON for the `obj` triple slot."""
     return json.dumps(obj, sort_keys=True, separators=(",", ":"), ensure_ascii=True)

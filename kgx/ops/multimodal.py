@@ -1,0 +1,200 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing — schemas, Arrow batch shapes, mapInPandas signatures,
+partitioning — is real and tested; the actual media decoding is STUBBED with a
+deterministic fake (this container has no PIL/ffmpeg/torchaudio), behind an
+import-try so a real decoder drops in per-worker without touching the plan:
+
+    def _decode_real(payload: bytes) -> np.ndarray:   # pragma: no cover
+        from PIL import Image                         # not in this container
+        ...
+
+Every operator is an iterator-of-batches mapInPandas (model/decoder loads once
+per worker, SURVEY.md §2.11 'Model inference' row), never per-row Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ASSETS = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("duration_s", T.DoubleType(), True),
+                    T.StructField("codec", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+try:  # pragma: no cover — the real decoder path, absent in this container
+    import PIL.Image  # noqa: F401
+
+    HAVE_REAL_DECODER = True
+except ImportError:
+    HAVE_REAL_DECODER = False
+
+
+def synth_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media corpus (seeded payload bytes + plausible meta)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
+        meta = {
+            "width": 64 + 16 * (i % 8) if kind != "audio" else None,
+            "height": 48 + 16 * (i % 6) if kind != "audio" else None,
+            "sample_rate": 16000 if kind == "audio" else None,
+            "duration_s": round(rng.uniform(1, 30), 2) if kind != "image" else None,
+            "codec": {"image": "png", "audio": "pcm16", "video": "h264"}[kind],
+        }
+        rows.append((i, kind, payload, meta))
+    return spark.createDataFrame(rows, ASSETS)
+
+
+def _fake_decode(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Deterministic stand-in for image decode: seeded uint8 HxWx3 buffer."""
+    seed = zlib.crc32(payload) & 0xFFFFFFFF
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+DECODED = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pixels", T.BinaryType(), False),  # HxWx3 uint8, row-major
+    ]
+)
+
+
+def decode_images(assets: DataFrame) -> DataFrame:
+    """image assets -> raw pixel buffers. Real decoder slots into this batch fn."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # real path would construct the decoder ONCE here, per worker
+        for pdf in batches:
+            out = {"asset_id": [], "width": [], "height": [], "pixels": []}
+            for row in pdf.itertuples(index=False):
+                if HAVE_REAL_DECODER:  # pragma: no cover
+                    raise NotImplementedError(
+                        "real decode not wired in this container; see _fake_decode"
+                    )
+                w, h = row.meta["width"], row.meta["height"]
+                img = _fake_decode(bytes(row.payload), w, h)
+                out["asset_id"].append(row.asset_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pixels"].append(img.tobytes())
+            yield pd.DataFrame(out)
+
+    return (
+        assets.filter(F.col("kind") == "image")
+        .select("asset_id", "payload", "meta")
+        .mapInPandas(gen, schema=DECODED)
+    )
+
+
+def resize_images(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize on raw buffers — numpy-vectorized per batch."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "width": [], "height": [], "pixels": []}
+            for row in pdf.itertuples(index=False):
+                img = np.frombuffer(bytes(row.pixels), dtype=np.uint8).reshape(
+                    row.height, row.width, 3
+                )
+                ys = (np.arange(out_h) * row.height // out_h).clip(0, row.height - 1)
+                xs = (np.arange(out_w) * row.width // out_w).clip(0, row.width - 1)
+                res = img[ys][:, xs]
+                out["asset_id"].append(row.asset_id)
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["pixels"].append(res.tobytes())
+            yield pd.DataFrame(out)
+
+    return decoded.mapInPandas(gen, schema=DECODED)
+
+
+EMBED = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def image_embeddings(decoded: DataFrame, dim: int = 32) -> DataFrame:
+    """Feature extraction seam: mean-pooled channel histogram (deterministic
+    fake for a vision encoder; a real model loads once per worker)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for row in pdf.itertuples(index=False):
+                img = np.frombuffer(bytes(row.pixels), dtype=np.uint8)
+                hist, _ = np.histogram(img, bins=dim, range=(0, 256))
+                v = hist.astype(np.float64)
+                n = np.linalg.norm(v)
+                vecs.append((v / n if n else v).astype(np.float32).tolist())
+                ids.append(row.asset_id)
+            yield pd.DataFrame({"asset_id": ids, "embedding": vecs})
+
+    return decoded.mapInPandas(gen, schema=EMBED)
+
+
+FRAMES = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, fps: float = 1.0) -> DataFrame:
+    """video assets -> one fake frame per sampled timestamp (UDTF shape:
+    one input row fans out to duration*fps output rows inside the batch)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "frame_idx": [], "frame": []}
+            for row in pdf.itertuples(index=False):
+                n_frames = max(1, int((row.meta["duration_s"] or 1) * fps))
+                for k in range(n_frames):
+                    out["asset_id"].append(row.asset_id)
+                    out["frame_idx"].append(k)
+                    out["frame"].append(
+                        hashlib.sha256(bytes(row.payload) + k.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(out)
+
+    return (
+        assets.filter(F.col("kind") == "video")
+        .select("asset_id", "payload", "meta")
+        .mapInPandas(gen, schema=FRAMES)
+    )

@@ -93,12 +93,36 @@ def canonicalize_proponents(facts: DataFrame, mapping: DataFrame | None = None) 
     return others.unionByName(rewritten)
 
 
-def extract_stage(spark: SparkSession, pages: DataFrame) -> DataFrame:
-    """pages -> validated facts (everything before canonicalization)."""
-    kdf = textextract.kernel_pass(pages)
+def extract_stage(
+    spark: SparkSession, pages: DataFrame, mode: str = "fused"
+) -> DataFrame:
+    """pages -> validated facts (everything before canonicalization).
+
+    mode='fused' (default, the scale path): one Arrow pass per page for all
+    row-local work (extract.extract_facts_fused), then the genuinely
+    cross-document relational stages.
+
+    mode='relational': the operator-by-operator decomposition (lead-window
+    spans, broadcast category join, chunk-explode top-k) — same output,
+    asserted equal in tests; kept as the cross-validation path and the
+    demonstration of each SURVEY.md §2 operator in the pipeline itself. Its
+    multi-branch plan re-executes the html->text kernel without persist(), so
+    the two hot intermediates are cached MEMORY_AND_DISK."""
+    from pyspark import StorageLevel
+
+    if mode == "fused":
+        # persist: downstream filters (methodology/others/proponent-mentions)
+        # are separate plan branches that would each re-run the Arrow kernel
+        facts = extract.extract_facts_fused(pages).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        return extract.validate_methodologies(facts, extract.methodology_dim(spark))
+
+    kdf = textextract.kernel_pass(pages).persist(StorageLevel.MEMORY_AND_DISK)
     ctx = sections.build_contexts(spark, kdf)
     facts = extract.extract_facts(ctx)
-    return extract.validate_methodologies(facts, extract.methodology_dim(spark))
+    validated = extract.validate_methodologies(facts, extract.methodology_dim(spark))
+    return validated.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _to_triples(final: DataFrame) -> DataFrame:
@@ -113,10 +137,13 @@ def _to_triples(final: DataFrame) -> DataFrame:
 
 
 def build_triples(
-    spark: SparkSession, pages: DataFrame, mapping: DataFrame | None = None
+    spark: SparkSession,
+    pages: DataFrame,
+    mapping: DataFrame | None = None,
+    mode: str = "fused",
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> triples DF (not yet written)."""
-    facts = extract_stage(spark, pages)
+    facts = extract_stage(spark, pages, mode=mode)
     return _to_triples(canonicalize_proponents(facts, mapping))
 
 

@@ -98,12 +98,17 @@ def contexts(bodies: DataFrame) -> DataFrame:
     Single-chunk sections skip scoring entirely (the common case: no pandas UDF
     on that path beyond chunking). Matches kernel.select_context bit-for-bit.
     """
+    from pyspark import StorageLevel
+
     chunked = bodies.select(
         "url", "warc_ts", "content_sha", "category",
         F.posexplode(_chunks_udf("body")).alias("chunk_id", "chunk"),
     )
     grp = Window.partitionBy("url", "category")
-    chunked = chunked.withColumn("n_chunks", F.count("*").over(grp))
+    # persisted: the single-chunk and multi-chunk branches both consume it
+    chunked = chunked.withColumn("n_chunks", F.count("*").over(grp)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     single = chunked.filter(F.col("n_chunks") <= 1).select(
         "url", "warc_ts", "content_sha", "category",

@@ -36,6 +36,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst=true (the default) pins post-shuffle partition count
+        # to the parallelism even for KB-sized shuffles — dozens of near-empty
+        # tasks per stage; with many small stages that overhead scales WITH
+        # cores and inverted our 8->32 speedup. Size-based coalescing instead.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # large html blobs: keep Arrow batches bounded (SURVEY.md §2.11)

@@ -60,13 +60,45 @@ def test_canonical_mapping_matches_golden(spark):
     assert got == gold
 
 
-def test_connected_components_chain(spark):
+def test_canonical_mapping_distributed_matches_golden(spark, monkeypatch):
+    """Force the distributed LSH path (driver short-circuit disabled)."""
+    monkeypatch.setattr(canon, "DRIVER_CANON_MAX_SURFACES", 0)
+    pages = fixtures.gen_pages(200)
+    gold = {e["surface"]: e["canonical"] for e in fixtures.golden_entities(pages)}
+    mentions = spark.createDataFrame([(s,) for s in gold], "surface string")
+    got = {r.surface: r.rep for r in canon.canonical_mapping(mentions).collect()}
+    assert got == gold
+
+
+@pytest.mark.parametrize("impl", [canon.connected_components, canon._distributed_cc])
+def test_connected_components_chain(spark, impl):
     nodes = spark.createDataFrame([(s,) for s in "abcde"], "surface string")
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("d", "e")], "a string, b string"
     )
-    comp = canon.connected_components(nodes, edges)
+    comp = impl(nodes, edges)
     labels = {r.surface: r.component for r in comp.collect()}
     assert labels["a"] == labels["b"] == labels["c"]
     assert labels["d"] == labels["e"]
     assert labels["a"] != labels["d"]
+
+
+def test_driver_and_distributed_cc_agree(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = [(f"n{i:03d}",) for i in range(120)]
+    edges = [(f"n{rng.randrange(120):03d}", f"n{rng.randrange(120):03d}")
+             for _ in range(80)]
+    ndf = spark.createDataFrame(nodes, "surface string")
+    edf = spark.createDataFrame(edges, "a string, b string").filter("a <> b")
+    g1 = canon._driver_cc(ndf, edf).collect()
+    g2 = canon._distributed_cc(ndf, edf).collect()
+
+    def grouping(rows):
+        by_comp = {}
+        for r in rows:
+            by_comp.setdefault(r.component, set()).add(r.surface)
+        return {frozenset(v) for v in by_comp.values()}
+
+    assert grouping(g1) == grouping(g2)

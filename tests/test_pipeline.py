@@ -73,6 +73,16 @@ def test_triples_pr_vs_golden(spark, pages_df, pages_rows):
     assert recall >= 0.95, f"recall {recall}"
 
 
+def test_fused_equals_relational(spark, pages_df):
+    """The one-Arrow-pass hot path and the operator-by-operator relational
+    decomposition must produce identical triples."""
+    fused = pipeline.build_triples(spark, pages_df, mode="fused")
+    rel = pipeline.build_triples(spark, pages_df, mode="relational")
+    f = {(r.subj, r.pred, r.obj) for r in fused.collect()}
+    r = {(r.subj, r.pred, r.obj) for r in rel.collect()}
+    assert f == r
+
+
 def test_constraint_checks_zero_violations(spark, pages_df):
     tri = pipeline.build_triples(spark, pages_df)
     flagged, metrics = extract.validate_triples(tri)
