@@ -33,6 +33,27 @@ def _pages_fixture(n: int) -> str:
     return os.path.join(path, "pages.parquet")
 
 
+def run_once_subprocess(pages_path: str, cpus: int) -> tuple[float, int]:
+    """Each measurement in its own JVM: spark.driver.memory is fixed at JVM
+    launch, so reusing one gateway across runs would pin the second run to the
+    first run's heap (observed: the 32-core run spilled its cache and GC'd,
+    inverting the scaling)."""
+    import subprocess
+
+    # 16-20g is the sweet spot on this box: 8g spills the facts cache, but a
+    # huge heap (48g) starved the 32 python workers and crashed them (OS-level
+    # memory pressure -> broken pipes -> task retries)
+    env = dict(os.environ, KGX_DRIVER_MEM="20g")
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--once", pages_path, str(cpus)],
+        capture_output=True, text=True, env=env, check=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    return d["sec"], d["n"]
+
+
 def run_once(pages_path: str, cpus: int) -> tuple[float, int]:
     from kgx import pipeline
     from kgx.session import get_spark
@@ -65,13 +86,17 @@ def run_once(pages_path: str, cpus: int) -> tuple[float, int]:
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--once":
+        t, n = run_once(sys.argv[2], int(sys.argv[3]))
+        print(json.dumps({"sec": t, "n": n}))
+        return
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     pages_path = _pages_fixture(n_pages)
 
-    t_low, n_low = run_once(pages_path, low)
-    t_high, n_high = run_once(pages_path, high)
+    t_low, n_low = run_once_subprocess(pages_path, low)
+    t_high, n_high = run_once_subprocess(pages_path, high)
     assert n_low == n_high, (n_low, n_high)
     speedup = t_low / t_high
     efficiency = speedup / (high / low)

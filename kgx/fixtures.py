@@ -380,7 +380,7 @@ def write_fixture(
     # small row groups: Spark's scan-time splitting (maxPartitionBytes) can only
     # parallelize across row-group boundaries — one giant group = one task
     pq.write_table(
-        _pages_table(pages), f"{out_dir}/pages.parquet", row_group_size=256
+        _pages_table(pages), f"{out_dir}/pages.parquet", row_group_size=4096
     )
     if not golden:
         return
@@ -414,7 +414,7 @@ def write_pages_chunked(
             t = _pages_table(rng_pages[i : i + chunk])
             if writer is None:
                 writer = pq.ParquetWriter(f"{out_dir}/pages.parquet", t.schema)
-            writer.write_table(t, row_group_size=256)
+            writer.write_table(t, row_group_size=4096)
     finally:
         if writer is not None:
             writer.close()

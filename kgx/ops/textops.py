@@ -197,9 +197,13 @@ def t07_minhash_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents")
     mentions = d.select(F.col("text").alias("surface"))
-    # token shingles (char grams saturate on narrow vocabularies) + a bucket
-    # cap against degenerate band buckets
-    mapping = canon.canonical_mapping(mentions, shingle="token", bucket_cap=1000)
+    # token shingles (char grams saturate on narrow vocabularies); r=4 bands
+    # (n_bands=16) so weakly-similar pairs don't flood the candidate set —
+    # near-dups at J>=0.7 still collide with P ~ 0.99; bucket cap guards the
+    # degenerate buckets
+    mapping = canon.canonical_mapping(
+        mentions, shingle="token", bucket_cap=1000, n_bands=16
+    )
     joined = d.join(mapping, d.text == mapping.surface, "left")
     clusters = joined.select(
         "doc_id", F.md5(F.coalesce("rep", "text")).alias("cluster_key")
