@@ -126,6 +126,55 @@ def aggregate_metrics(scored: DataFrame, by: str = "pred") -> DataFrame:
     )
 
 
+def fuzzy_partial_ratio(needle: str, haystack: str) -> float:
+    """Best local match ratio of `needle` against substrings of `haystack`,
+    0..100 — the rapidfuzz/fuzzywuzzy partial_ratio semantics
+    (project_detail_dataset_transform.py:47-59,105-118) implemented with
+    stdlib difflib (rapidfuzz is not in this container)."""
+    import difflib
+
+    if not needle or not haystack:
+        return 0.0
+    if len(needle) > len(haystack):
+        needle, haystack = haystack, needle
+    sm = difflib.SequenceMatcher(None, needle, haystack, autojunk=False)
+    best = 0.0
+    for i, j, size in sm.get_matching_blocks():
+        if size == 0:
+            continue
+        start = max(0, j - i)
+        window = haystack[start : start + len(needle)]
+        r = difflib.SequenceMatcher(None, needle, window, autojunk=False).ratio()
+        best = max(best, r)
+        if best == 1.0:
+            break
+    return round(best * 100, 1)
+
+
+_GROUND_SCHEMA = T.DoubleType()
+
+
+@F.pandas_udf(_GROUND_SCHEMA)
+def _grounding_udf(answer: pd.Series, context: pd.Series) -> pd.Series:
+    return pd.Series(
+        [fuzzy_partial_ratio(a or "", c or "") for a, c in zip(answer, context)],
+        dtype="float64",
+    )
+
+
+def grounding_filter(
+    pairs: DataFrame, answer_col: str = "answer", context_col: str = "context",
+    threshold: float = 80.0,
+) -> DataFrame:
+    """Keep rows whose answer is fuzzily grounded in its context — the
+    reference's answer-in-context QA gate (fuzzy theta-join applied POST
+    equi-join, SURVEY.md §2.3: equi-join first keeps it O(n), the fuzzy
+    predicate is a vectorized pandas UDF, never a Spark join condition)."""
+    return pairs.withColumn(
+        "grounding", _grounding_udf(F.col(answer_col), F.col(context_col))
+    ).filter(F.col("grounding") >= threshold)
+
+
 def triple_set_pr(got: DataFrame, golden: DataFrame) -> dict[str, float]:
     """Join-based set comparison of (subj, pred, obj) — the P/R >= 0.95 gate."""
     keys = ["subj", "pred", "obj"]

@@ -71,6 +71,24 @@ def test_score_pairs_and_aggregate(spark, triples_df):
     assert all(r.exact_match == 0.0 and r.rougeL_f1 < 1.0 for r in agg_bad.collect())
 
 
+def test_fuzzy_partial_ratio_kernel():
+    assert evaluation.fuzzy_partial_ratio("ACM0002", "applies ACM0002 here") == 100.0
+    assert evaluation.fuzzy_partial_ratio("ACM0002", "applies ACM0003 here") >= 70.0
+    assert evaluation.fuzzy_partial_ratio("zzz", "applies ACM0002") < 40.0
+    assert evaluation.fuzzy_partial_ratio("", "x") == 0.0
+
+
+def test_grounding_filter(spark):
+    rows = [
+        ("a1", "the project applies ACM0002 in Peru", "ACM0002"),
+        ("a2", "completely unrelated text about nothing", "XYZ9999"),
+    ]
+    df = spark.createDataFrame(rows, "id string, context string, answer string")
+    kept = evaluation.grounding_filter(df).collect()
+    assert [r.id for r in kept] == ["a1"]
+    assert kept[0].grounding >= 80.0
+
+
 def test_triple_set_pr(spark, triples_df):
     pr = evaluation.triple_set_pr(triples_df, triples_df)
     assert pr["precision"] == 1.0 and pr["recall"] == 1.0
