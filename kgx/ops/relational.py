@@ -587,6 +587,67 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+# --- §2.4 extract-all + unstack (two dates from a string, formatter.py:163) ---------- #
+def q27_extractall(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    s = F.concat(
+        F.lit("from "), F.date_format("o_orderdate", "dd/MM/yyyy"),
+        F.lit(" until "), F.date_format(F.date_add("o_orderdate", 364), "dd/MM/yyyy"),
+    )
+    dates = F.regexp_extract_all(s, F.lit("([0-9]{2}/[0-9]{2}/[0-9]{4})"), 1)
+    return o.select(
+        "o_orderkey",
+        F.element_at(dates, 1).alias("start_s"),
+        F.element_at(dates, 2).alias("end_s"),
+    )
+
+
+Q27_SQL = """
+WITH s AS (
+  SELECT o_orderkey,
+         'from ' || strftime(o_orderdate, '%d/%m/%Y') || ' until '
+                 || strftime(o_orderdate + INTERVAL 364 DAY, '%d/%m/%Y') AS txt
+  FROM orders
+)
+SELECT o_orderkey,
+       regexp_extract_all(txt, '([0-9]{2}/[0-9]{2}/[0-9]{4})', 1)[1] AS start_s,
+       regexp_extract_all(txt, '([0-9]{2}/[0-9]{2}/[0-9]{4})', 1)[2] AS end_s
+FROM s
+"""
+
+
+# --- §2.3 positional zip join (evaluation.py:56-58: zip two files by row order) -------- #
+def q28_zip_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Two deterministically-ordered sides joined on row_number — the keyed
+    equivalent of the reference's positional zip of prompts and answers."""
+    c = load(spark, sf, "customer")
+    s = load(spark, sf, "supplier")
+    wc = Window.orderBy("c_custkey")
+    ws = Window.orderBy("s_suppkey")
+    left = c.select(F.row_number().over(wc).alias("rn"), F.col("c_name"))
+    right = s.select(F.row_number().over(ws).alias("rn"), F.col("s_name"))
+    return left.join(right, "rn", "inner").select("rn", "c_name", "s_name")
+
+
+Q28_SQL = """
+WITH l AS (SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS rn, c_name FROM customer),
+     r AS (SELECT ROW_NUMBER() OVER (ORDER BY s_suppkey) AS rn, s_name FROM supplier)
+SELECT l.rn AS rn, c_name, s_name FROM l JOIN r ON l.rn = r.rn
+"""
+
+
+# --- approximate distinct (metrics counter; approx -> rows-only vs oracle) ------------- #
+def q29_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct as the snapshot-metrics counter (SURVEY.md §2.4
+    note). No SQL oracle: HLL estimates differ between engines by design;
+    tests assert the estimate is within 5%% of exact."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count("*").alias("n"),
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_isin": (q02_filter_isin, Q02_SQL),
@@ -614,4 +675,7 @@ QUERIES = {
     "q24_sha256": (q24_sha256, Q24_SQL),
     "q25_sessionize": (q25_sessionize, Q25_SQL),
     "q26_rollup": (q26_rollup, Q26_SQL),
+    "q27_extractall": (q27_extractall, Q27_SQL),
+    "q28_zip_join": (q28_zip_join, Q28_SQL),
+    "q29_approx_distinct": (q29_approx_distinct, None),
 }

@@ -120,54 +120,78 @@ WHERE list_dot_product(x.v, y.v)
 N_PLANES = 16
 N_BANDS_ANN = 8  # 2 bits per band
 
+import pandas as pd
+from pyspark.sql import types as T
 
-def _rh_signature(vec_col):
-    """Deterministic random-hyperplane signature: plane p weight for dim i is a
-    hash-derived value in [-1, 1); sign of the projection is bit p. Pure JVM."""
-    def proj(p):
-        weighted = F.zip_with(
-            vec_col,
-            F.sequence(F.lit(0), F.size(vec_col) - 1),
-            lambda x, i: x * ((F.pmod(F.xxhash64(i, F.lit(p)), F.lit(2000)) - 1000) / 1000.0),
-        )
-        return F.aggregate(weighted, F.lit(0.0), lambda a, v: a + v)
 
-    return F.array(*[F.when(proj(p) >= 0, 1).otherwise(0) for p in range(N_PLANES)])
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _rh_bands_udf(vec: pd.Series) -> pd.Series:
+    """Hyperplane-LSH band signatures, numpy-vectorized per Arrow batch.
+
+    Weights derive from splitmix64(plane, dim) so signatures are deterministic
+    across runs/parallelism. (Interpreted HOF expressions for this were the
+    s03 bottleneck — same finding as the canon MinHash.)"""
+    import numpy as np
+
+    dim = len(vec.iloc[0]) if len(vec) else 0
+    idx = np.arange(N_PLANES, dtype=np.uint64)[:, None] * np.uint64(1 << 32) + np.arange(
+        dim, dtype=np.uint64
+    )[None, :]
+    z = idx * np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    W = (z.astype(np.float64) / 2**64) * 2.0 - 1.0  # (planes, dim) in [-1, 1)
+    r = N_PLANES // N_BANDS_ANN
+    out = []
+    with np.errstate(over="ignore"):
+        V = np.stack(vec.to_numpy()) if len(vec) else np.zeros((0, dim))
+        bits = (V @ W.T >= 0).astype(np.uint8)  # (n, planes)
+        for row in bits:
+            out.append(
+                ["".join(map(str, row[b * r : (b + 1) * r])) for b in range(N_BANDS_ANN)]
+            )
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.DoubleType())
+def _cos_np_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    import numpy as np
+
+    A = np.stack(a.to_numpy())
+    B = np.stack(b.to_numpy())
+    num = (A * B).sum(axis=1)
+    den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+    return pd.Series(np.round(num / den, 6))
 
 
 def s03_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """ANN top-k: hyperplane-LSH band blocking -> exact cosine re-rank.
 
-    At corpus scale the band join replaces the q x c cross product; candidate
-    recall is tested against s01 in tests/test_simsearch.py.
+    The band join carries only (id, band) — vectors join back per surviving
+    candidate; scoring is numpy per Arrow batch. At corpus scale the band join
+    replaces the q x c cross product (on THIS test corpus the vectors are
+    weakly correlated, so wide-recall banding admits most pairs — real
+    embedding corpora with near-dup structure prune hard at the same
+    geometry); recall vs s01 is asserted in tests.
     """
     q, c = _split(spark, sf)
-    bits_per_band = N_PLANES // N_BANDS_ANN
-
-    def banded(df, vcol, idcol):
-        sig = _rh_signature(F.col(vcol))
-        bands = F.transform(
-            F.sequence(F.lit(0), F.lit(N_BANDS_ANN - 1)),
-            lambda b: F.concat_ws(
-                "",
-                F.transform(
-                    F.slice(sig, b * bits_per_band + 1, bits_per_band),
-                    lambda x: x.cast("string"),
-                ),
-            ),
-        )
-        return df.select(
-            idcol, vcol, F.posexplode(bands).alias("band_id", "band_sig")
-        )
-
-    qb = banded(q, "qv", "query_id")
-    cb = banded(c, "cv", "cand_id")
+    qb = q.select(
+        "query_id", F.posexplode(_rh_bands_udf("qv")).alias("band_id", "band_sig")
+    )
+    cb = c.select(
+        "cand_id", F.posexplode(_rh_bands_udf("cv")).alias("band_id", "band_sig")
+    )
     cand = (
         qb.join(cb, ["band_id", "band_sig"])
-        .select("query_id", "qv", "cand_id", "cv")
+        .select("query_id", "cand_id")
         .dropDuplicates(["query_id", "cand_id"])
     )
-    scored = cand.withColumn("cos", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c.select("cand_id", "cv"), "cand_id")
+        .withColumn("cos", _cos_np_udf("qv", "cv"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

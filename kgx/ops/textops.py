@@ -235,6 +235,42 @@ def t08_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return d.selectExpr("doc_id", sim)
 
 
+# --- keyword search with hit lists (PDFExtraction.py:281-309 / find_keyword_in_pdf) --- #
+KEYWORDS = ["table", "spark", "join", "window", "hash"]
+
+
+def t09_keyword_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """keyword -> sorted list of matching doc_ids + hit count; the
+    explode+rlike+groupBy/collect_list shape of the reference's keyword-page
+    search, with the keyword dimension broadcast."""
+    d = load(spark, sf, "documents")
+    kw = spark.createDataFrame([(k,) for k in KEYWORDS], "keyword string")
+    # Column.rlike only takes a literal pattern in the Python API; the SQL
+    # form accepts a column expression
+    hits = d.join(
+        F.broadcast(kw), F.expr(r"text rlike ('\\b' || keyword || '\\b')")
+    )
+    return hits.groupBy("keyword").agg(
+        F.count("*").alias("n_docs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("doc_ids"),
+    )
+
+
+_KW_LIT = ", ".join(f"('{k}')" for k in KEYWORDS)
+T09_SQL = f"""
+WITH kw(keyword) AS (VALUES {_KW_LIT})
+SELECT keyword, COUNT(*) AS n_docs,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+FROM documents JOIN kw ON regexp_matches(text, '\\b' || keyword || '\\b')
+GROUP BY keyword
+"""
+
+
 QUERIES = {
     "t01_dedup_exact": (t01_dedup_exact, T01_SQL),
     "t02_token_count": (t02_token_count, T02_SQL),
@@ -244,4 +280,5 @@ QUERIES = {
     "t06_ngram_jaccard_pairs": (t06_ngram_jaccard_pairs, T06_SQL),
     "t07_minhash_clusters": (t07_minhash_clusters, None),
     "t08_simhash": (t08_simhash, None),
+    "t09_keyword_hits": (t09_keyword_hits, T09_SQL),
 }

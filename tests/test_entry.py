@@ -20,7 +20,9 @@ def test_oracle_keys_subset_of_queries():
     assert set(oracles) <= set(qs)
     assert len(qs) >= 30
     # the non-SQL-expressible ops are known and deliberate
-    assert set(qs) - set(oracles) == {"t07_minhash_clusters", "t08_simhash", "s03_ann_lsh"}
+    assert set(qs) - set(oracles) == {
+        "t07_minhash_clusters", "t08_simhash", "s03_ann_lsh", "q29_approx_distinct",
+    }
 
 
 def test_entry_runs_and_has_stable_schema(spark):
