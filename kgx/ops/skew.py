@@ -1,0 +1,71 @@
+"""Explicit skew handling: salted joins and salted heavy aggregations.
+
+BASELINE.json:north_rule requires explicit salting for hot-domain skew on top
+of AQE's runtime skew-join splitting (both are on: kgx.session enables
+spark.sql.adaptive.skewJoin; this module is the *static* tool for cases AQE
+cannot fix — e.g. a single hot key inside one task's build side, or heavy
+per-key state in collect_list-style aggregations where map-side partial
+aggregation doesn't shrink the payload).
+
+- salted_join: fact ⋈ dim on a skewed key — the dim side is exploded SALT ways
+  and the fact side gets a deterministic salt from a row hash, so one hot key
+  spreads over SALT reducer partitions. Semantics identical to the plain join
+  (asserted in tests/test_skew.py).
+- salted_collect: groupBy(key).collect_list equivalent in two stages — partial
+  collect per (key, salt), then merge — so a hot key's list is assembled from
+  SALT partial lists instead of one giant reducer task.
+
+The triple write (kgx.checkpoint.TripleStore.commit) applies the same idea:
+repartition by (pred, pmod(xxhash64(subj), 64)) so a hot predicate doesn't
+serialize into one writer task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT = 16
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt: int = DEFAULT_SALT,
+) -> DataFrame:
+    """fact ⋈ dim on `key`, hot keys spread across `salt` partitions.
+
+    The dim side is replicated `salt` times (explode of a literal sequence);
+    the fact side derives its salt from xxhash64 of the whole row's key plus a
+    disambiguator column set, keeping the assignment deterministic.
+    """
+    fact_s = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(salt)).cast("int")
+    )
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = fact_s.join(dim_s, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def salted_collect(
+    df: DataFrame, key: str, value: str, salt: int = DEFAULT_SALT
+) -> DataFrame:
+    """groupBy(key).agg(sort_array(collect_list(value))) with two-stage salting.
+
+    Stage 1 collects per (key, salt-of-value); stage 2 flattens + sorts the
+    partial lists. Output column: `values` (sorted array) — deterministic and
+    equal to the unsalted aggregation.
+    """
+    stage1 = (
+        df.withColumn("_salt", F.pmod(F.xxhash64(F.col(value)), F.lit(salt)).cast("int"))
+        .groupBy(key, "_salt")
+        .agg(F.collect_list(value).alias("_part"))
+    )
+    return (
+        stage1.groupBy(key)
+        .agg(F.array_sort(F.flatten(F.collect_list("_part"))).alias("values"))
+    )
