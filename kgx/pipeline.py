@@ -1,15 +1,20 @@
 """End-to-end KG-construction pipeline: pages -> triples.
 
-One lazy DataFrame chain (SURVEY.md §3.1 rebuild):
-pages -> kernel_pass (mapInPandas: html->text + validated headings)
-      -> lead-window section spans -> broadcast category match -> body slice
-      -> chunk/score/top-k contexts -> schema-guided extraction (mapInPandas)
-      -> broadcast semi-join methodology validation
+One lazy DataFrame chain (SURVEY.md §3.1 rebuild), default 'fused' mode:
+pages -> ONE mapInArrow pass (html->text, validated headings, section spans,
+         category match, context top-k, schema-guided extraction)
+      -> methodology validation (broadcast-literal intersect)
       -> MinHash-LSH + connected-components canonicalization of proponent orgs
+         (global dictionary, broadcast-dict rewrite)
       -> (subj, pred, obj) triples with lineage columns.
 
-spark-submit entry point at the bottom (--py-files packaging: ship the kgx/
-directory as a zip; no driver-side collects in the hot path).
+mode='relational' runs the same semantics as the operator-by-operator
+decomposition (lead windows, broadcast category join, chunk explode) and is
+asserted byte-equal in tests.
+
+spark-submit entry point at the bottom (--py-files packaging: tools/package.sh
+builds dist/kgx.zip). The only driver-side materializations are
+O(entity-dictionary), never O(corpus).
 """
 
 from __future__ import annotations
@@ -123,12 +128,12 @@ def extract_stage(
         facts = extract.extract_facts_fused(pages).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        return extract.validate_methodologies(facts, extract.methodology_dim(spark))
+        return extract.validate_methodologies(facts)
 
     kdf = textextract.kernel_pass(pages).persist(StorageLevel.MEMORY_AND_DISK)
     ctx = sections.build_contexts(spark, kdf)
     facts = extract.extract_facts(ctx)
-    validated = extract.validate_methodologies(facts, extract.methodology_dim(spark))
+    validated = extract.validate_methodologies(facts)
     return validated.persist(StorageLevel.MEMORY_AND_DISK)
 
 

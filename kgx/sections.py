@@ -15,9 +15,6 @@ All-relational stage between the two pandas kernels:
 
 from __future__ import annotations
 
-import math
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -152,16 +149,3 @@ def build_contexts(spark: SparkSession, kernel_df: DataFrame) -> DataFrame:
     spans = section_spans(hs)
     cat = categorize(spans, variant_dim(spark))
     return contexts(section_bodies(cat, pt))
-
-
-def _chunk_score_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        pdf = pdf.copy()
-        pdf["score"] = [
-            kernel.chunk_score(c, cat) for c, cat in zip(pdf["chunk"], pdf["category"])
-        ]
-        yield pdf
-
-
-def ceil_half(n: int) -> int:
-    return math.ceil(n / 2)

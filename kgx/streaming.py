@@ -11,6 +11,11 @@ entity dictionary keeping canonical representatives sticky across batches.
 
 foreachBatch is the exactly-once seam: the store commit is atomic, and the
 stream checkpoint directory records consumed files.
+
+NB: streaming commits use buckets=[] — dedup bookkeeping lives in the stream
+checkpoint, not the bucket manifest. Use a store either in streaming mode or
+in batch run_checkpointed mode; mixing both over the same input would
+double-process (the batch resume filter can't see stream-consumed files).
 """
 
 from __future__ import annotations
