@@ -80,6 +80,53 @@ def _splitmix64(z):
     return z ^ (z >> np.uint64(31))
 
 
+def _minhash_seeds():
+    import numpy as np
+
+    return (
+        np.arange(1, N_HASHES + 1, dtype=np.uint64)
+        * np.uint64(0x9E3779B97F4A7C15)
+    )
+
+
+def _py_grams_of_norm(norm: str, shingle: str) -> list[str]:
+    """Python mirror of shingle_col/token_shingle_col gram extraction.
+
+    Returns [] only for empty char-gram input; token mode falls back to the
+    whole normalized string when shorter than 3 tokens (including '' for
+    empty/punctuation-only text, so such rows still get a signature and empty
+    docs dedup against each other)."""
+    if shingle == "char":
+        if len(norm) < 3:
+            return [norm] if norm else []
+        return [norm[i : i + 3] for i in range(len(norm) - 2)]
+    toks = norm.split()
+    if len(toks) < 3:
+        return [norm]
+    return [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+
+
+def _hash_and_sig(grams: list[str], seeds):
+    """grams -> (sorted distinct uint64 shingle ids, 64-slot MinHash sig).
+
+    crc32 pairs give stable 64-bit shingle ids; splitmix64 over (id ^ seed_h)
+    derives the 64 hash families."""
+    import zlib
+
+    import numpy as np
+
+    b = [g.encode() for g in grams]
+    h = np.unique(
+        np.fromiter(
+            ((zlib.crc32(g) << 32) | zlib.crc32(g + b"#") for g in b),
+            dtype=np.uint64,
+            count=len(b),
+        )
+    )
+    sig = _splitmix64(h[None, :] ^ seeds[:, None]).min(axis=1)
+    return h, sig
+
+
 def _sig_gen(shingle: str):
     """mapInPandas generator: surface -> (surface, norm, sh_hash, sig).
 
@@ -87,57 +134,25 @@ def _sig_gen(shingle: str):
     An earlier all-JVM version (nested transform()/xxhash64 higher-order
     expressions) was ~9 ms/doc: HOF lambdas are interpreted, not
     whole-stage-codegen'd, so each hash call pays boxed expression-eval — the
-    'UDFs are the slow path' rule inverts here. crc32 pairs give stable 64-bit
-    shingle ids; splitmix64 over (id ^ seed_h) derives the 64 hash families.
+    'UDFs are the slow path' rule inverts here.
     """
 
     def gen(batches):
-        import zlib
-
         import numpy as np
         import pandas as pd
 
         from kgx import kernel
 
-        seeds = (
-            np.arange(1, N_HASHES + 1, dtype=np.uint64)
-            * np.uint64(0x9E3779B97F4A7C15)
-        )
+        seeds = _minhash_seeds()
         with np.errstate(over="ignore"):
             for pdf in batches:
                 out = {"surface": [], "norm": [], "sh_hash": [], "sig": []}
                 for s in pdf["surface"]:
                     norm = kernel.normalize_surface(s)
-                    if shingle == "char":
-                        if len(norm) < 3:
-                            grams = [norm] if norm else []
-                        else:
-                            grams = [norm[i : i + 3] for i in range(len(norm) - 2)]
-                    else:
-                        toks = norm.split()
-                        if not toks:
-                            grams = []
-                        elif len(toks) < 3:
-                            grams = [norm]
-                        else:
-                            grams = [
-                                " ".join(toks[i : i + 3])
-                                for i in range(len(toks) - 2)
-                            ]
-                    if not grams:
-                        continue
-                    b = [g.encode() for g in grams]
-                    h = np.unique(
-                        np.fromiter(
-                            (
-                                (zlib.crc32(g) << 32) | zlib.crc32(g + b"#")
-                                for g in b
-                            ),
-                            dtype=np.uint64,
-                            count=len(b),
-                        )
-                    )
-                    sig = _splitmix64(h[None, :] ^ seeds[:, None]).min(axis=1)
+                    grams = _py_grams_of_norm(norm, shingle)
+                    if not grams or grams == [""]:
+                        continue  # entity path: nothing to canonicalize
+                    h, sig = _hash_and_sig(grams, seeds)
                     out["surface"].append(s)
                     out["norm"].append(norm)
                     out["sh_hash"].append(h.view(np.int64))
@@ -167,6 +182,98 @@ def surfaces_with_shingles(mentions: DataFrame, shingle: str = "char") -> DataFr
         .mapInPandas(_sig_gen(shingle), schema=_SURF_SCHEMA)
     )
     return df.localCheckpoint()
+
+
+_KEYED_SCHEMA = "surface string, h string, sh_hash array<long>, sig array<long>"
+
+
+def _keyed_sig_gen(shingle: str):
+    """mapInPandas generator for id-keyed corpora:
+    (surface=id, _text) -> (surface, h=sha256(text), sh_hash, sig).
+
+    The text itself never leaves the Arrow batch — only the id, a 64-char
+    content hash, and fixed-width hash arrays, so no downstream shuffle or
+    join ever carries document bytes (round-1 review finding)."""
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from kgx import kernel
+
+        seeds = _minhash_seeds()
+        with np.errstate(over="ignore"):
+            for pdf in batches:
+                out = {"surface": [], "h": [], "sh_hash": [], "sig": []}
+                for key, text in zip(pdf["surface"], pdf["_text"]):
+                    text = text or ""
+                    norm = kernel.normalize_surface(text)
+                    grams = _py_grams_of_norm(norm, shingle) or [norm]
+                    h, sig = _hash_and_sig(grams, seeds)
+                    out["surface"].append(key)
+                    out["h"].append(hashlib.sha256(text.encode()).hexdigest())
+                    out["sh_hash"].append(h.view(np.int64))
+                    out["sig"].append(sig.view(np.int64))
+                yield pd.DataFrame(out)
+
+    return gen
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: str = "token",
+    bucket_cap: int | None = None,
+    n_bands: int = N_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """(id, text) -> (id string, component): near-duplicate document clustering.
+
+    The corpus-scale variant of canonical_mapping, keyed by document id:
+
+    1. one Arrow pass computes (id, sha256(text), shingle ids, MinHash sig) —
+       the document text NEVER enters a shuffle, a join key, or a driver
+       collect (the round-1 t07 carried full text through all three);
+    2. exact-duplicate prepass groups by content hash and keeps one
+       representative per distinct text, so boilerplate dup-groups can't blow
+       an LSH band bucket past ``bucket_cap``;
+    3. LSH banding + exact-Jaccard verification over representatives only,
+       carrying the id string through the band shuffle;
+    4. connected components over ids (driver union-find under the row+byte
+       guards, distributed min-label propagation above);
+    5. every doc maps to its exact-rep's component; docs whose text is unique
+       and un-clustered are their own singleton component.
+
+    Exact equality and near-dup merging compose transitively: members of an
+    exact group share the rep's shingle set, so Jaccard against the rep equals
+    Jaccard against any member.
+    """
+    keyed = docs.select(
+        F.col(id_col).cast("string").alias("surface"), F.col(text_col).alias("_text")
+    )
+    surf = keyed.mapInPandas(_keyed_sig_gen(shingle), schema=_KEYED_SCHEMA)
+    # exact-dup prepass: min id per distinct content hash. The narrow (h, id)
+    # projection shuffles first; the wide signature rows shuffle once on h —
+    # the same linear cost class as any exact-dedup groupBy.
+    erep = surf.select("surface", "h").groupBy("h").agg(
+        F.min("surface").alias("erep")
+    )
+    joined = surf.join(erep, "h").localCheckpoint()  # two consumers below
+    members = joined.select("surface", "erep")
+    reps = joined.filter(F.col("surface") == F.col("erep")).select(
+        "surface", "sh_hash", "sig"
+    )
+    edges = verified_edges(
+        candidate_pairs(reps, bucket_cap=bucket_cap, n_bands=n_bands),
+        threshold=threshold,
+    )
+    comp = connected_components(reps.select("surface"), edges)
+    return members.join(
+        comp.withColumnRenamed("surface", "erep"), "erep"
+    ).select(F.col("surface").alias(id_col), "component")
 
 
 def candidate_pairs(
@@ -231,7 +338,8 @@ def verified_edges(pairs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Da
     )
 
 
-DRIVER_CC_MAX_EDGES = 2_000_000  # collect threshold for the union-find fast path
+DRIVER_CC_MAX_EDGES = 2_000_000  # row threshold for the union-find fast path
+DRIVER_CC_MAX_BYTES = 256 * 1024 * 1024  # byte threshold for the same collect
 DRIVER_CANON_MAX_SURFACES = 1000  # collect threshold for whole-mapping fast path
 
 
@@ -309,21 +417,46 @@ def connected_components(
 ) -> DataFrame:
     """(surface) x (a,b) -> (surface, component) by min-label propagation.
 
+    Only nodes touching an edge enter the CC computation; isolated nodes (the
+    vast majority of a mostly-unique corpus) are their own component by
+    definition and are appended with a shuffle-free anti-join — so the CC
+    graph is sized by the duplicate population, not the corpus.
+
     Two physical strategies, same semantics:
     - small graphs (entity dictionaries after blocking are typically tiny
       relative to the corpus): collect the edge list and union-find on the
       driver — the iterative version costs ~10s of pure scheduler latency for
-      a 40-node graph, which dominates small-corpus runs;
+      a 40-node graph, which dominates small-corpus runs. The fast path is
+      gated on BOTH a row count and an estimated-bytes budget (a 2M-row limit
+      alone would admit multi-GB collects of long keys — round-1 review);
     - large graphs: distributed min-label propagation with localCheckpoint per
       round to cut lineage (SURVEY.md §7 'What's hard'); deterministic labels
-      (min xxhash64(surface) over the component).
+      (min xxhash64(surface) over the component, 'h:'-prefixed strings).
     Component ids differ between the two paths (min-surface vs min-hash) but
     grouping — the only thing consumers use — is identical.
     """
-    n_edges = edges.limit(DRIVER_CC_MAX_EDGES + 1).count()
-    if n_edges <= DRIVER_CC_MAX_EDGES:
-        return _driver_cc(nodes, edges)
-    return _distributed_cc(nodes, edges, max_iter)
+    stats = edges.limit(DRIVER_CC_MAX_EDGES + 1).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.length("a") + F.length("b")), F.lit(0)
+        ).alias("nbytes"),
+    ).first()
+    touched = (
+        edges.select(F.col("a").alias("surface"))
+        .unionByName(edges.select(F.col("b").alias("surface")))
+        .distinct()
+    )
+    if stats["n"] <= DRIVER_CC_MAX_EDGES and stats["nbytes"] <= DRIVER_CC_MAX_BYTES:
+        comp = _driver_cc(touched, edges)
+    else:
+        comp = _distributed_cc(touched, edges, max_iter)
+    isolated = (
+        nodes.select("surface")
+        .distinct()
+        .join(comp.select("surface"), "surface", "left_anti")
+        .select("surface", F.col("surface").alias("component"))
+    )
+    return comp.unionByName(isolated)
 
 
 def _driver_cc(nodes: DataFrame, edges: DataFrame) -> DataFrame:
@@ -383,7 +516,12 @@ def _distributed_cc(nodes: DataFrame, edges: DataFrame, max_iter: int = 20) -> D
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("x").alias("surface"), F.col("label").alias("component"))
+    # 'h:' prefix keeps hash labels distinct from the driver path's
+    # surface-valued labels when isolated nodes are appended by the caller
+    return labels.select(
+        F.col("x").alias("surface"),
+        F.concat(F.lit("h:"), F.col("label").cast("string")).alias("component"),
+    )
 
 
 def canonical_mapping(

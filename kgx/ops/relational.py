@@ -506,16 +506,19 @@ def q23_json_extract(spark: SparkSession, sf: str) -> DataFrame:
         e.withColumn("k", parsed["k"])
         .groupBy("event_type")
         .agg(
-            F.sum("k").alias("sum_k"),
-            F.count(F.when(F.col("k").isNull(), 1)).alias("null_k"),
+            # explicit long casts on BOTH engines: DuckDB SUM(INT) yields HUGEINT,
+            # whose stringification differs from Spark's bigint and flips the
+            # driver's value hash (round-1 q23 hash_match=false).
+            F.sum("k").cast("long").alias("sum_k"),
+            F.count(F.when(F.col("k").isNull(), 1)).cast("long").alias("null_k"),
         )
     )
 
 
 Q23_SQL = """
 SELECT event_type,
-       SUM(CAST(props->>'$.k' AS INT)) AS sum_k,
-       COUNT(CASE WHEN CAST(props->>'$.k' AS INT) IS NULL THEN 1 END) AS null_k
+       CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(CASE WHEN CAST(props->>'$.k' AS INT) IS NULL THEN 1 END) AS BIGINT) AS null_k
 FROM events GROUP BY event_type
 """
 
@@ -542,8 +545,9 @@ def q25_sessionize(spark: SparkSession, sf: str) -> DataFrame:
         e.withColumn("session_id", sess)
         .groupBy("user_id")
         .agg(
-            F.max("session_id").alias("n_sessions"),
-            F.count("*").alias("n_events"),
+            # long casts on both engines (DuckDB windowed SUM -> HUGEINT; see q23)
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.count("*").cast("long").alias("n_events"),
         )
     )
 
@@ -560,7 +564,8 @@ WITH g AS (
                    ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g
 )
-SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
 FROM s GROUP BY user_id
 """
 

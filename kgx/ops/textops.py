@@ -186,53 +186,141 @@ WHERE len(list_intersect(x.grams, y.grams))::DOUBLE
 """
 
 
-# --- MinHash-LSH near-dup clusters (the scale path; no SQL oracle) ------------------ #
+# --- MinHash-LSH near-dup clusters (the scale path) ---------------------------------- #
 def t07_minhash_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    """Whole-corpus near-dup clustering via the kgx.canon LSH+CC machinery.
+    """Whole-corpus near-dup clustering via canon.dedup_clusters: id-keyed
+    MinHash-LSH banding + exact-Jaccard verification + connected components.
+    Document text never enters a shuffle — only doc_id, sha256(text), and
+    fixed-width hash arrays (round-1 carried full text as the join key).
 
-    Not SQL-expressible (iterative CC) — driver records a rows-only check;
-    determinism is covered by tests/test_textops.py instead.
+    cluster_key = md5(min doc_id of the cluster): independent of the CC
+    label scheme, so the driver/distributed CC paths and the SQL oracle all
+    agree. The oracle (T07_SQL) computes the same clustering exactly —
+    all-pairs token-3-gram Jaccard >= threshold + recursive-CTE transitive
+    closure — which is feasible at oracle scale and checks the LSH path
+    end-to-end (blocking recall included: signatures are deterministic, so
+    parity at a given sf is stable, verified at sf0.001/sf0.01).
     """
     from kgx import canon
 
     d = load(spark, sf, "documents")
-    mentions = d.select(F.col("text").alias("surface"))
-    # token shingles (char grams saturate on narrow vocabularies); r=4 bands
-    # (n_bands=16) so weakly-similar pairs don't flood the candidate set —
-    # near-dups at J>=0.7 still collide with P ~ 0.99; bucket cap guards the
-    # degenerate buckets
-    mapping = canon.canonical_mapping(
-        mentions, shingle="token", bucket_cap=1000, n_bands=16
+    comp = canon.dedup_clusters(
+        d, id_col="doc_id", text_col="text", shingle="token",
+        bucket_cap=1000, n_bands=32,
     )
-    joined = d.join(mapping, d.text == mapping.surface, "left")
-    clusters = joined.select(
-        "doc_id", F.md5(F.coalesce("rep", "text")).alias("cluster_key")
+    wc = Window.partitionBy("component")
+    keyed = comp.withColumn(
+        "rep_id",
+        F.min(F.col("doc_id").cast("long")).over(
+            wc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.col("rep_id").cast("string")).alias("cluster_key"),
     )
-    w = Window.partitionBy("cluster_key")
-    return clusters.withColumn("cluster_size", F.count("*").over(w)).select(
-        "doc_id", "cluster_key", "cluster_size"
-    )
+    wk = Window.partitionBy("cluster_key")
+    return keyed.withColumn(
+        "cluster_size", F.count("*").over(wk)
+    ).select("doc_id", "cluster_key", "cluster_size")
 
 
-# --- SimHash (64-bit, xxhash64 token hashing; no SQL oracle) ------------------------- #
+# Exact mirror of the Spark clustering: normalize (lower, non-alnum -> space,
+# collapse), token 3-grams with the whole-string fallback, all-pairs Jaccard
+# >= canon.JACCARD_THRESHOLD edges, transitive closure by recursive CTE,
+# cluster key = md5(min doc_id).
+T07_SQL = """
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [norm]
+              ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in range(1, len(toks) - 1)])
+         END AS grams
+  FROM (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM d)
+), e AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM g x JOIN g y ON x.doc_id < y.doc_id
+  WHERE len(list_intersect(x.grams, y.grams))::DOUBLE
+        / len(list_distinct(list_concat(x.grams, y.grams))) >= 0.4
+), sym AS (
+  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+), reach AS (
+  SELECT doc_id AS a, doc_id AS b FROM d
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), comp AS (
+  SELECT a AS doc_id, MIN(b) AS rep_id FROM reach GROUP BY a
+)
+SELECT doc_id, md5(CAST(rep_id AS VARCHAR)) AS cluster_key,
+       CAST(COUNT(*) OVER (PARTITION BY rep_id) AS BIGINT) AS cluster_size
+FROM comp
+"""
+
+
+# --- SimHash (55-bit, engine-portable token hashing) --------------------------------- #
+# modular LCG hash: modulus 2^55 keeps acc*181+code < 2^63 (no BIGINT overflow
+# on either engine — both are overflow-strict); the large odd seed plus three
+# finalizer rounds spread even 1-char tokens across all 55 bits
+_POLY_MOD = 1 << 55
+_POLY_MULT = 181
+_POLY_SEED = 25214903917
+
+
 def t08_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """64-bit SimHash, fully JVM-side: per-token xxhash64, per-bit sign sums via
-    aggregate() over the token array, bits reassembled with bit ops."""
+    """55-bit SimHash, fully JVM-side: per-token modular LCG hash over the
+    token's characters, per-bit sign sums via aggregate() over the
+    distinct-token array, bits reassembled with bit ops.
+
+    The token hash is overflow-safe modular arithmetic rather than xxhash64 so
+    the DuckDB oracle can compute the identical value (xxhash64 isn't
+    portable); the SimHash semantics — near-identical docs agree on most
+    bits — are unchanged, and a production swap to xxhash64 is one expression.
+    SQL expression form: the Python-API shiftright/shiftleft demand literal
+    shift amounts, but the SQL functions take column operands."""
     d = load(spark, sf, "documents")
-    # SQL expression form: the Python-API shiftright/shiftleft demand literal
-    # shift amounts, but the SQL functions take column operands.
+    step = f"(a, c) -> (a * {_POLY_MULT} + c) % {_POLY_MOD}L"
+    tok_hash = (
+        f"aggregate(array(11L, 11L, 11L), "
+        f"aggregate(transform(split(t, ''), ch -> bigint(ascii(ch))), "
+        f"{_POLY_SEED}L, {step}), {step})"
+    )
     sim = (
         "aggregate("
-        "  zip_with("
-        "    transform(sequence(0, 63), b -> aggregate("
-        "      array_distinct(split(trim(lower(text)), '\\\\s+')), 0,"
-        "      (acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1"
-        "                             THEN 1 ELSE -1 END)),"
-        "    sequence(0, 63),"
-        "    (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),"
+        "  transform(sequence(0, 54), b -> CASE WHEN aggregate("
+        "      transform(array_distinct(split(trim(lower(text)), '\\\\s+')),"
+        f"       t -> {tok_hash}),"
+        "      0, (acc, h) -> acc + CASE WHEN (shiftright(h, b) & 1) = 1"
+        "                               THEN 1 ELSE -1 END) > 0"
+        "    THEN shiftleft(1L, b) ELSE 0L END),"
         "  0L, (acc, x) -> acc | x) AS simhash"
     )
     return d.selectExpr("doc_id", sim)
+
+
+T08_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         [list_reduce(list_prepend(
+             list_reduce(list_prepend({_POLY_SEED}::BIGINT,
+                                      [ascii(c)::BIGINT for c in string_split(t, '')]),
+                         (a, b) -> (a * {_POLY_MULT} + b) % {_POLY_MOD}),
+             [11::BIGINT, 11::BIGINT, 11::BIGINT]),
+             (a, b) -> (a * {_POLY_MULT} + b) % {_POLY_MOD})
+          for t in list_distinct(string_split_regex(trim(lower(text)), '\\s+'))] AS hs
+  FROM documents
+)
+SELECT doc_id,
+       CAST(list_sum([CASE WHEN list_sum([CASE WHEN (v >> b) & 1 = 1
+                                               THEN 1 ELSE -1 END
+                                          for v in hs]) > 0
+                           THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                      for b in range(0, 55)]) AS BIGINT) AS simhash
+FROM h
+"""
 
 
 # --- keyword search with hit lists (PDFExtraction.py:281-309 / find_keyword_in_pdf) --- #
@@ -278,7 +366,7 @@ QUERIES = {
     "t04_quality_score": (t04_quality_score, T04_SQL),
     "t05_fingerprint": (t05_fingerprint, T05_SQL),
     "t06_ngram_jaccard_pairs": (t06_ngram_jaccard_pairs, T06_SQL),
-    "t07_minhash_clusters": (t07_minhash_clusters, None),
-    "t08_simhash": (t08_simhash, None),
+    "t07_minhash_clusters": (t07_minhash_clusters, T07_SQL),
+    "t08_simhash": (t08_simhash, T08_SQL),
     "t09_keyword_hits": (t09_keyword_hits, T09_SQL),
 }

@@ -83,6 +83,53 @@ def test_connected_components_chain(spark, impl):
     assert labels["a"] != labels["d"]
 
 
+def test_cc_byte_guard_forces_distributed_path(spark, monkeypatch):
+    """Edge lists under the row cap but over the byte budget must take the
+    distributed path (driver collect is gated on BOTH)."""
+    monkeypatch.setattr(canon, "DRIVER_CC_MAX_BYTES", 0)
+    nodes = spark.createDataFrame([(s,) for s in "abcdef"], "surface string")
+    edges = spark.createDataFrame([("a", "b"), ("c", "d")], "a string, b string")
+    comp = canon.connected_components(nodes, edges)
+    labels = {r.surface: r.component for r in comp.collect()}
+    # distributed labels are 'h:'-prefixed; isolated nodes label themselves
+    assert labels["a"] == labels["b"] and labels["a"].startswith("h:")
+    assert labels["c"] == labels["d"] and labels["c"].startswith("h:")
+    assert labels["e"] == "e" and labels["f"] == "f"
+
+
+def test_cc_isolated_nodes_skip_the_graph(spark):
+    """Nodes not touching any edge are their own component without entering
+    CC (the anti-join path); grouping is complete."""
+    nodes = spark.createDataFrame([(s,) for s in "abcz"], "surface string")
+    edges = spark.createDataFrame([("a", "b")], "a string, b string")
+    labels = {r.surface: r.component
+              for r in canon.connected_components(nodes, edges).collect()}
+    assert labels["a"] == labels["b"]
+    assert labels["c"] == "c" and labels["z"] == "z"
+    assert len(labels) == 4
+
+
+def test_dedup_clusters_exact_and_near(spark):
+    """Exact dups merge via the sha-prepass; near-dups via LSH+Jaccard; text
+    never needs to be a join key (ids only in the output)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " tomorrow"),  # near dup of 1/2
+        (4, "completely different content about spark shuffles and parquet files"),
+        (5, ""),  # empty docs cluster with each other only
+        (6, "!!!"),  # normalizes to empty -> clusters with 5
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    comp = canon.dedup_clusters(docs, bucket_cap=100)
+    labels = {int(r.doc_id): r.component for r in comp.collect()}
+    assert len(labels) == 6
+    assert labels[1] == labels[2] == labels[3]
+    assert labels[5] == labels[6]
+    assert len({labels[1], labels[4], labels[5]}) == 3
+
+
 def test_driver_and_distributed_cc_agree(spark):
     import random
 
