@@ -82,6 +82,18 @@ METHODOLOGY_CODES: tuple[str, ...] = (
     "AR-ACM0003",
 )
 
+# City/country gazetteer — the flashgeotext dictionary mirror
+# (ground_truth_project_detail_formatter.py:47-49,170-171). Broadcast into the
+# Aho-Corasick batch scan (kgx.gazetteer) for free-text location mentions.
+GAZETTEER_CITIES: tuple[str, ...] = (
+    "Lima", "Nairobi", "Jakarta", "Hanoi", "Madrid", "Bucharest",
+    "Portland", "Austin", "Denver", "Seattle",
+)
+GAZETTEER_COUNTRIES: tuple[str, ...] = (
+    "Peru", "Kenya", "Indonesia", "Vietnam", "Spain", "Romania",
+    "United States", "Brazil", "India",
+)
+
 # US state abbreviation -> full name (subset), mirroring the `us` package usage
 # at ground_truth_project_detail_formatter.py:52-56,173-175.
 US_STATE_ABBR: dict[str, str] = {

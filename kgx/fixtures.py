@@ -60,10 +60,10 @@ ORGS: list[dict] = [
     )
 ]
 
-CITIES = ["Lima", "Nairobi", "Jakarta", "Hanoi", "Madrid", "Bucharest",
-          "Portland", "Austin", "Denver", "Seattle"]
-COUNTRIES = ["Peru", "Kenya", "Indonesia", "Vietnam", "Spain", "Romania",
-             "United States", "Brazil", "India"]
+from kgx.config import GAZETTEER_CITIES, GAZETTEER_COUNTRIES
+
+CITIES = list(GAZETTEER_CITIES)
+COUNTRIES = list(GAZETTEER_COUNTRIES)
 STATES = ["California", "Texas", "New York", "Washington", "Oregon", "Colorado",
           "Cusco", "Rift Valley", "West Java", "Lam Dong"]
 # an invalid-but-well-formed code that must be dropped by the semi-join validation
@@ -175,13 +175,25 @@ def gen_pages(n: int = 200, seed: int = SEED) -> list[dict]:
                 )
                 for v, o in blocks:
                     slug = o["name"].lower().replace(" ", "")
-                    body.append(
-                        f"<p>Organization Name: {v}</p>"
-                        f"<p>Telephone: +1-555-0{int(o['org_id'][4:]):03d}</p>"
-                        f"<p>Email: contact@{slug}.example</p>"
-                        f"<p>City: {rng.choice(CITIES)}</p>"
-                        f"<p>Country: {rng.choice(COUNTRIES)}</p>"
-                    )
+                    phone = f"+1-555-0{int(o['org_id'][4:]):03d}"
+                    if rng.random() < 0.35:
+                        # unlabeled block: contact details live in free text —
+                        # exercised by the CommonRegex-style phone/email
+                        # mention extraction + the city/country gazetteer scan
+                        body.append(
+                            f"<p>Organization Name: {v}</p>"
+                            f"<p>Based in {rng.choice(CITIES)}, "
+                            f"{rng.choice(COUNTRIES)}. Reach us at {phone} "
+                            f"or contact@{slug}.example for details.</p>"
+                        )
+                    else:
+                        body.append(
+                            f"<p>Organization Name: {v}</p>"
+                            f"<p>Telephone: {phone}</p>"
+                            f"<p>Email: contact@{slug}.example</p>"
+                            f"<p>City: {rng.choice(CITIES)}</p>"
+                            f"<p>Country: {rng.choice(COUNTRIES)}</p>"
+                        )
             if present["sector"]:
                 sub += 1
                 body.append(f"<h2>1.{sub} SECTORAL SCOPE AND TYPE OF PROJECT</h2>")
@@ -286,6 +298,30 @@ def golden_contexts(pages: list[dict]) -> list[dict]:
                     "category": cat,
                     "context": kernel.select_context(body, cat),
                 }
+            )
+    return out
+
+
+def golden_contexts_refined(
+    pages: list[dict], mode: str = "best1", threshold: float = 0.95
+) -> list[dict]:
+    """Reference compression pipeline goldens (context_extractor.py:132-146):
+    mode='redundant' -> EmbeddingsRedundantFilter survivors re-joined;
+    mode='best1' -> redundancy drop + EmbeddingsFilter(k=1)."""
+    fn = {
+        "redundant": kernel.select_context_redundant,
+        "best1": kernel.select_context_best1,
+    }[mode]
+    out = []
+    for p in pages:
+        for s in kernel.sections_from_text(p["text"]):
+            cat = kernel.categorize_heading(s["title"])
+            if cat is None:
+                continue
+            body = p["text"][s["body_off"] : s["end_off"]].strip()
+            out.append(
+                {"url": p["url"], "category": cat,
+                 "context": fn(body, cat, threshold=threshold)}
             )
     return out
 

@@ -324,12 +324,65 @@ def select_context(body: str, category: str, size: int = 2000, overlap: int = 50
     chunks = chunk_text(body, size=size, overlap=overlap)
     if len(chunks) <= 1:
         return body.strip()
+    keep = sorted(_retrieved_order(chunks, category))
+    return "\n".join(chunks[i].strip() for i in keep)
+
+
+def _retrieved_order(chunks: list[str], category: str) -> list[int]:
+    """Chunk indices in retrieval order: score desc, chunk index asc (the
+    deterministic tie-break shared by every retrieval mode), cut to
+    k = ceil(n/2) (context_extractor.py:126)."""
     k = math.ceil(len(chunks) / 2)
     scored = sorted(
         ((chunk_score(c, category), -i) for i, c in enumerate(chunks)), reverse=True
     )
-    keep = sorted(-neg_i for _, neg_i in scored[:k])
-    return "\n".join(chunks[i].strip() for i in keep)
+    return [-neg_i for _, neg_i in scored[:k]]
+
+
+def redundancy_filter(embeds: list[list[float]], threshold: float = 0.95) -> list[int]:
+    """Greedy near-duplicate drop in presentation order: position i survives
+    iff its cosine vs every earlier survivor is < threshold. Mirrors
+    langchain's EmbeddingsRedundantFilter as applied by the reference
+    (context_extractor.py:132-134); 0.95 is that filter's default."""
+    kept: list[int] = []
+    for i, e in enumerate(embeds):
+        if all(cosine(e, embeds[j]) < threshold for j in kept):
+            kept.append(i)
+    return kept
+
+
+def select_context_redundant(
+    body: str, category: str, size: int = 2000, overlap: int = 50,
+    threshold: float = 0.95,
+) -> str:
+    """Top-ceil(n/2) retrieval, then redundancy drop of near-duplicate chunks
+    (in retrieval order), survivors re-joined in document order — the
+    EmbeddingsRedundantFilter stage of context_extractor.py:132-134."""
+    chunks = chunk_text(body, size=size, overlap=overlap)
+    if len(chunks) <= 1:
+        return body.strip()
+    order = _retrieved_order(chunks, category)
+    embeds = [hash_embed(chunks[i]) for i in order]
+    kept = sorted(order[j] for j in redundancy_filter(embeds, threshold))
+    return "\n".join(chunks[i].strip() for i in kept)
+
+
+def select_context_best1(
+    body: str, category: str, size: int = 2000, overlap: int = 50,
+    threshold: float = 0.95,
+) -> str:
+    """Full reference compression pipeline: retrieval top-k -> redundancy
+    filter -> EmbeddingsFilter(k=1) keep the single most query-relevant
+    survivor (context_extractor.py:136-146). Because retrieval order is
+    already score-descending and the redundancy filter keeps the first of any
+    near-dup group, the best-1 survivor is the first kept position."""
+    chunks = chunk_text(body, size=size, overlap=overlap)
+    if len(chunks) <= 1:
+        return body.strip()
+    order = _retrieved_order(chunks, category)
+    embeds = [hash_embed(chunks[i]) for i in order]
+    kept = redundancy_filter(embeds, threshold)
+    return chunks[order[kept[0]]].strip()
 
 
 # --------------------------------------------------------------------------- #
@@ -368,20 +421,76 @@ def _norm_date(s: str) -> str | None:
     return None
 
 
+# CommonRegex-style free-text mention patterns
+# (ground_truth_project_detail_formatter.py:44,61-62 uses CommonRegex
+# .phones[0]/.emails[0] when the labeled fields are absent)
+_PHONE_MENTION_RE = re.compile(
+    r"(?:\+?\d{1,3}[-.\s]?)?(?:\(\d{2,4}\)[-.\s]?)?\d{3,4}[-.\s]?\d{3,4}"
+    r"(?:[-.\s]?\d{2,4})?"
+)
+_EMAIL_MENTION_RE = re.compile(
+    r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
+)
+_ORG_BLOCK_RE = re.compile(r"(?m)(?=^Organization Name:)")
+
+
+def _gazetteer_case() -> dict[str, str]:
+    from kgx.config import GAZETTEER_CITIES, GAZETTEER_COUNTRIES
+
+    return {t.lower(): t for t in (*GAZETTEER_CITIES, *GAZETTEER_COUNTRIES)}
+
+
+def _first_gazetteer_mention(text: str, terms: tuple[str, ...]) -> str | None:
+    """Earliest word-boundary gazetteer mention (Aho-Corasick one-pass scan),
+    returned in the dictionary's canonical casing — the flashgeotext
+    geotext.extract mirror (formatter.py:47-49)."""
+    from kgx import gazetteer
+
+    hits = gazetteer.automaton(tuple(t.lower() for t in terms)).scan(text)
+    if not hits:
+        return None
+    _, term = min(hits)
+    return _gazetteer_case()[term]
+
+
 def extract_proponents(context: str) -> list[dict] | None:
     """Repeated field blocks -> array<struct>, shape of
-    initial_pipeline/section/project_proponents.py:16-54."""
+    initial_pipeline/section/project_proponents.py:16-54.
+
+    Labeled `Field: value` lines win; when a block lacks a labeled
+    telephone/email/city/country, free-text mention extraction fills in —
+    CommonRegex-style phone/email patterns and the broadcast city/country
+    gazetteer (formatter.py:44-62,170-171)."""
+    from kgx.config import GAZETTEER_CITIES, GAZETTEER_COUNTRIES
+
     props: list[dict] = []
-    cur: dict = {}
-    for m in _PROP_FIELD_RE.finditer(context):
-        key = m.group(1).lower().replace(" ", "_")
-        if key == "organization_name" and cur:
-            props.append(cur)
-            cur = {}
-        cur[key] = m.group(2).strip()
-    if cur:
+    for block in _ORG_BLOCK_RE.split(context):
+        cur = {
+            m.group(1).lower().replace(" ", "_"): m.group(2).strip()
+            for m in _PROP_FIELD_RE.finditer(block)
+        }
+        if not cur.get("organization_name"):
+            continue
+        # free text of the block = everything except the labeled lines (so a
+        # labeled org name containing digits can't feed the phone pattern)
+        free = _PROP_FIELD_RE.sub("", block)
+        if "telephone" not in cur:
+            m = _PHONE_MENTION_RE.search(free)
+            if m:
+                cur["telephone"] = m.group(0).strip()
+        if "email" not in cur:
+            m = _EMAIL_MENTION_RE.search(free)
+            if m:
+                cur["email"] = m.group(0)
+        if "city" not in cur:
+            city = _first_gazetteer_mention(free, GAZETTEER_CITIES)
+            if city:
+                cur["city"] = city
+        if "country" not in cur:
+            country = _first_gazetteer_mention(free, GAZETTEER_COUNTRIES)
+            if country:
+                cur["country"] = country
         props.append(cur)
-    props = [p for p in props if p.get("organization_name")]
     return props or None
 
 

@@ -359,6 +359,40 @@ GROUP BY keyword
 """
 
 
+# --- gazetteer mention detection (Aho-Corasick batch UDF, SURVEY §2.7) ---------------- #
+# term -> kind; includes a multi-word term, where the one-pass automaton
+# genuinely differs from per-keyword regex scans (t09)
+GAZETTEER = {
+    "spark": "engine",
+    "hash join": "operator",
+    "window": "operator",
+    "customer": "dimension",
+    "vector": "type",
+}
+
+
+def t10_gazetteer_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """Broadcast-gazetteer entity mention counts per document: the flashgeotext
+    shape of the reference (ground_truth_project_detail_formatter.py:47-49)
+    run as an Aho-Corasick scan inside Arrow batches (kgx.gazetteer). Match
+    semantics are regex-\\b-exact, so the oracle verifies counts by value."""
+    from kgx import gazetteer
+
+    d = load(spark, sf, "documents")
+    return gazetteer.spark_scan(d, "doc_id", "text", GAZETTEER)
+
+
+_GZ_LIT = ", ".join(f"('{t}', '{k}')" for t, k in sorted(GAZETTEER.items()))
+T10_SQL = f"""
+WITH gz(entity, kind) AS (VALUES {_GZ_LIT})
+SELECT doc_id, entity, kind,
+       CAST(len(regexp_extract_all(lower(text), '\\b' || entity || '\\b')) AS BIGINT)
+           AS n_hits
+FROM documents CROSS JOIN gz
+WHERE regexp_matches(lower(text), '\\b' || entity || '\\b')
+"""
+
+
 QUERIES = {
     "t01_dedup_exact": (t01_dedup_exact, T01_SQL),
     "t02_token_count": (t02_token_count, T02_SQL),
@@ -369,4 +403,5 @@ QUERIES = {
     "t07_minhash_clusters": (t07_minhash_clusters, T07_SQL),
     "t08_simhash": (t08_simhash, T08_SQL),
     "t09_keyword_hits": (t09_keyword_hits, T09_SQL),
+    "t10_gazetteer_hits": (t10_gazetteer_hits, T10_SQL),
 }

@@ -140,12 +140,110 @@ def contexts(bodies: DataFrame) -> DataFrame:
     return single.unionByName(rejoined)
 
 
-def build_contexts(spark: SparkSession, kernel_df: DataFrame) -> DataFrame:
-    """heading+page rows (textextract.kernel_pass output) -> contexts DF."""
+_CTX_SCHEMA = (
+    "url string, warc_ts timestamp, content_sha string, "
+    "category string, context string"
+)
+
+
+def _refine_group_fn(mode: str, threshold: float):
+    """applyInPandas kernel for one (url, category) chunk group: retrieval
+    top-k (score desc, chunk_id asc), greedy redundancy drop, then either
+    re-join survivors in document order ('redundant') or keep the single best
+    ('best1'). The greedy pass is inherently sequential, but a group is one
+    section's chunks (tens of rows), so the pandas hop is O(section), never
+    O(corpus)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["score", "chunk_id"], ascending=[False, True])
+        chunks = pdf["chunk"].tolist()
+        ids = pdf["chunk_id"].tolist()
+        embeds = [kernel.hash_embed(c) for c in chunks]
+        kept = kernel.redundancy_filter(embeds, threshold)
+        if mode == "best1":
+            context = chunks[kept[0]].strip()
+        else:
+            in_doc_order = sorted(kept, key=lambda j: ids[j])
+            context = "\n".join(chunks[j].strip() for j in in_doc_order)
+        head = pdf.iloc[[0]]
+        return pd.DataFrame(
+            {
+                "url": head["url"].values,
+                "warc_ts": head["warc_ts"].values,
+                "content_sha": head["content_sha"].values,
+                "category": head["category"].values,
+                "context": [context],
+            }
+        )
+
+    return fn
+
+
+def contexts_refined(
+    bodies: DataFrame, mode: str = "best1", threshold: float = 0.95
+) -> DataFrame:
+    """Redundancy-filtered retrieval (context_extractor.py:132-146).
+
+    mode='redundant': top-ceil(n/2) chunks minus near-duplicates (cosine >=
+    threshold against an earlier-retained chunk), joined in document order —
+    the EmbeddingsRedundantFilter stage.
+    mode='best1': the full reference compression pipeline — redundancy drop
+    then EmbeddingsFilter(k=1) keep-best — one chunk per (url, category).
+
+    Shapes: chunk-explode + score exactly like contexts(); the per-group
+    greedy filter runs in applyInPandas over (url, category) — group-local,
+    O(chunks-per-section) each. Single-chunk sections bypass scoring entirely.
+    Byte-equal to kernel.select_context_{redundant,best1} (tested)."""
+    if mode not in ("best1", "redundant"):
+        raise ValueError(f"unknown mode {mode!r}")
+    from pyspark import StorageLevel
+
+    chunked = bodies.select(
+        "url", "warc_ts", "content_sha", "category",
+        F.posexplode(_chunks_udf("body")).alias("chunk_id", "chunk"),
+    )
+    grp = Window.partitionBy("url", "category")
+    chunked = chunked.withColumn("n_chunks", F.count("*").over(grp)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    single = chunked.filter(F.col("n_chunks") <= 1).select(
+        "url", "warc_ts", "content_sha", "category",
+        F.regexp_replace("chunk", _STRIP_RE, "").alias("context"),
+    )
+    multi = (
+        chunked.filter(F.col("n_chunks") > 1)
+        .withColumn("score", _score_udf("chunk", "category"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(grp.orderBy(F.desc("score"), F.asc("chunk_id"))),
+        )
+        .filter(F.col("_rn") <= F.ceil(F.col("n_chunks") / 2))
+        .drop("_rn", "n_chunks")
+    )
+    refined = multi.groupBy("url", "category").applyInPandas(
+        _refine_group_fn(mode, threshold), schema=_CTX_SCHEMA
+    )
+    return single.unionByName(refined)
+
+
+def _bodies(spark: SparkSession, kernel_df: DataFrame) -> DataFrame:
     from kgx import textextract
 
     hs = textextract.heading_rows(kernel_df)
     pt = textextract.page_text(kernel_df)
     spans = section_spans(hs)
     cat = categorize(spans, variant_dim(spark))
-    return contexts(section_bodies(cat, pt))
+    return section_bodies(cat, pt)
+
+
+def build_contexts(spark: SparkSession, kernel_df: DataFrame) -> DataFrame:
+    """heading+page rows (textextract.kernel_pass output) -> contexts DF."""
+    return contexts(_bodies(spark, kernel_df))
+
+
+def build_contexts_refined(
+    spark: SparkSession, kernel_df: DataFrame, mode: str = "best1",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Same chain with the redundancy-filter / best-1 compression retrieval."""
+    return contexts_refined(_bodies(spark, kernel_df), mode=mode, threshold=threshold)

@@ -98,6 +98,46 @@ def test_proponent_blocks():
     assert props[1] == {"organization_name": "Beta Inc", "country": "Z"}
 
 
+def test_proponent_free_text_mention_extraction():
+    """CommonRegex-style phone/email + gazetteer city/country fallbacks
+    (formatter.py:44-62,170-171) fill fields only when labels are absent."""
+    ctx = (
+        "Organization Name: Acme Ltd\n"
+        "Based in Lima, Peru. Reach us at +1-555-0042 or a@b.example today.\n"
+        "Organization Name: Beta Inc\n"
+        "Telephone: +9-999-9999\n"
+        "Offices in Nairobi, Kenya. Write to beta@beta.example.\n"
+    )
+    props = kernel.extract_proponents(ctx)
+    assert props[0] == {
+        "organization_name": "Acme Ltd",
+        "telephone": "+1-555-0042",
+        "email": "a@b.example",
+        "city": "Lima",
+        "country": "Peru",
+    }
+    # labeled telephone wins; the rest comes from free text
+    assert props[1] == {
+        "organization_name": "Beta Inc",
+        "telephone": "+9-999-9999",
+        "email": "beta@beta.example",
+        "city": "Nairobi",
+        "country": "Kenya",
+    }
+
+
+def test_gazetteer_first_mention_and_boundaries():
+    assert kernel._first_gazetteer_mention(
+        "shipped via jakarta, then to Hanoi", ("Hanoi", "Jakarta")
+    ) == "Jakarta"  # earliest position wins, canonical casing restored
+    # word boundaries: no match inside a larger word
+    assert kernel._first_gazetteer_mention("jakartan customs", ("Jakarta",)) is None
+    # multi-word gazetteer entries
+    assert kernel._first_gazetteer_mention(
+        "based in the united states of america", ("United States",)
+    ) == "United States"
+
+
 def test_select_context_multi_chunk_deterministic():
     body = "\n".join(f"line {i} " + "filler " * 40 for i in range(30))
     c1 = kernel.select_context(body, "methodology")

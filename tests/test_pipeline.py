@@ -60,6 +60,59 @@ def test_contexts_match_golden(spark, pages_rows, kernel_df):
     assert got == gold
 
 
+@pytest.mark.parametrize("mode", ["redundant", "best1"])
+def test_contexts_refined_match_golden(spark, pages_rows, kernel_df, mode):
+    ctx = sections.build_contexts_refined(spark, kernel_df, mode=mode)
+    got = {(r.url, r.category, r.context) for r in ctx.collect()}
+    gold = {
+        (c["url"], c["category"], c["context"])
+        for c in fixtures.golden_contexts_refined(pages_rows, mode=mode)
+    }
+    assert got == gold
+
+
+def test_redundancy_filter_drops_duplicate_chunks(spark):
+    """A section whose body repeats the same paragraph must lose the duplicate
+    chunks in 'redundant' mode and keep exactly one chunk in 'best1' — checked
+    both in the kernel and through the Spark path, byte-equal."""
+    para = "the quick brown fox jumps over the lazy dog. " * 60  # ~2.7 KB
+    body = ("\n".join(f"unique marker {i}. {para}" for i in range(4))).strip()
+    cat = "sector"
+    chunks = kernel.chunk_text(body)
+    assert len(chunks) > 2, "fixture body must be multi-chunk"
+    red = kernel.select_context_redundant(body, cat)
+    best = kernel.select_context_best1(body, cat)
+    topk = kernel.select_context(body, cat)
+    assert len(red) < len(topk), "redundancy filter never fired"
+    assert best in [c.strip() for c in chunks]
+
+    html = (
+        "<html><body><h1>1. PROJECT DETAILS</h1>"
+        "<h2>1.1 SECTORAL SCOPE AND TYPE OF PROJECT</h2>"
+        f"<p>{'</p><p>'.join(f'unique marker {i}. {para}' for i in range(4))}</p>"
+        "</body></html>"
+    ).encode()
+    import datetime
+    pdf = pd.DataFrame([{
+        "url": "https://t.example.com/proj/000001",
+        "warc_ts": datetime.datetime(2024, 1, 1),
+        "html": html,
+        "text": kernel.html_to_text(html),
+        "lang": "en",
+    }])
+    kdf = textextract.kernel_pass(spark.createDataFrame(pdf))
+    got_red = sections.build_contexts_refined(spark, kdf, mode="redundant").collect()
+    got_best = sections.build_contexts_refined(spark, kdf, mode="best1").collect()
+    page_text = pdf["text"][0]
+    sec = [s for s in kernel.sections_from_text(page_text)
+           if kernel.categorize_heading(s["title"]) == cat][0]
+    sbody = page_text[sec["body_off"]:sec["end_off"]].strip()
+    assert {(r.category, r.context) for r in got_red} == {
+        (cat, kernel.select_context_redundant(sbody, cat))}
+    assert {(r.category, r.context) for r in got_best} == {
+        (cat, kernel.select_context_best1(sbody, cat))}
+
+
 def test_triples_pr_vs_golden(spark, pages_df, pages_rows):
     tri = pipeline.build_triples(spark, pages_df)
     got = {(r.subj, r.pred, r.obj) for r in tri.collect()}
