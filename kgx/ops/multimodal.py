@@ -74,11 +74,21 @@ def synth_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, ASSETS)
 
 
-def _fake_decode(payload: bytes, w: int, h: int) -> np.ndarray:
+def _fake_decode(payload: bytes, meta: dict) -> np.ndarray:
     """Deterministic stand-in for image decode: seeded uint8 HxWx3 buffer."""
+    w, h = meta["width"], meta["height"]
     seed = zlib.crc32(payload) & 0xFFFFFFFF
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _real_decode(payload: bytes, meta: dict) -> np.ndarray:  # pragma: no cover
+    """PIL decode path — active automatically when PIL is importable."""
+    import io
+
+    import PIL.Image
+
+    return np.asarray(PIL.Image.open(io.BytesIO(payload)).convert("RGB"))
 
 
 DECODED = T.StructType(
@@ -91,23 +101,26 @@ DECODED = T.StructType(
 )
 
 
-def decode_images(assets: DataFrame) -> DataFrame:
-    """image assets -> raw pixel buffers. Real decoder slots into this batch fn."""
+def decode_images(assets: DataFrame, decoder=None) -> DataFrame:
+    """image assets -> raw pixel buffers.
+
+    The decoder is resolved ON THE DRIVER (closure-captured into the batch
+    fn): the real PIL path when PIL is importable, else the deterministic
+    fake — installing a real decoder activates it without touching the plan.
+    ``decoder`` overrides for tests / custom codecs: (payload, meta) -> HxWx3
+    uint8 array.
+    """
+    decode = decoder or (_real_decode if HAVE_REAL_DECODER else _fake_decode)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # real path would construct the decoder ONCE here, per worker
+        # a heavier decoder would construct its state ONCE here, per worker
         for pdf in batches:
             out = {"asset_id": [], "width": [], "height": [], "pixels": []}
             for row in pdf.itertuples(index=False):
-                if HAVE_REAL_DECODER:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real decode not wired in this container; see _fake_decode"
-                    )
-                w, h = row.meta["width"], row.meta["height"]
-                img = _fake_decode(bytes(row.payload), w, h)
+                img = decode(bytes(row.payload), row.meta)
                 out["asset_id"].append(row.asset_id)
-                out["width"].append(w)
-                out["height"].append(h)
+                out["width"].append(int(img.shape[1]))
+                out["height"].append(int(img.shape[0]))
                 out["pixels"].append(img.tobytes())
             yield pd.DataFrame(out)
 

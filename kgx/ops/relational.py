@@ -622,9 +622,63 @@ FROM s
 
 
 # --- §2.3 positional zip join (evaluation.py:56-58: zip two files by row order) -------- #
+def with_global_position(
+    df: DataFrame, *order_cols: str, col_name: str = "rn", n_parts: int | None = None
+) -> DataFrame:
+    """1-based global position in (order_cols) order WITHOUT a single-reducer
+    global window — zipWithIndex semantics in DataFrame ops:
+
+    1. range-repartition + sort within partitions on the order columns
+       (localCheckpoint freezes the partitioning so the count job and the
+       position job see identical partitions);
+    2. count rows per partition — a tiny O(#partitions) collect;
+    3. rn = row_number within partition + broadcast cumulative offset of all
+       earlier partitions.
+
+    Every stage is all-partitions-parallel; the global Window.orderBy variant
+    (one task streams every row) is kept only as a test-time equivalence
+    check (tests/test_plans.py)."""
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = spark.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(v) for pid_off in sorted(offsets.items()) for v in pid_off]
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return d.withColumn(
+        col_name, F.row_number().over(w) + off_map[F.col("_pid")]
+    ).drop("_pid")
+
+
 def q28_zip_join(spark: SparkSession, sf: str) -> DataFrame:
-    """Two deterministically-ordered sides joined on row_number — the keyed
-    equivalent of the reference's positional zip of prompts and answers."""
+    """Two deterministically-ordered sides joined on their global position —
+    the keyed equivalent of the reference's positional zip of prompts and
+    answers. Positions come from with_global_position (per-partition offsets),
+    not a partition-less window, so no single task sees every row."""
+    c = load(spark, sf, "customer")
+    s = load(spark, sf, "supplier")
+    left = with_global_position(c.select("c_custkey", "c_name"), "c_custkey")
+    right = with_global_position(s.select("s_suppkey", "s_name"), "s_suppkey")
+    return left.join(right, "rn", "inner").select("rn", "c_name", "s_name")
+
+
+def zip_join_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """The global-window formulation — single-reducer, kept as the equivalence
+    oracle for with_global_position."""
     c = load(spark, sf, "customer")
     s = load(spark, sf, "supplier")
     wc = Window.orderBy("c_custkey")

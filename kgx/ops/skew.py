@@ -38,11 +38,14 @@ def salted_join(
     """fact ⋈ dim on `key`, hot keys spread across `salt` partitions.
 
     The dim side is replicated `salt` times (explode of a literal sequence);
-    the fact side derives its salt from xxhash64 of the whole row's key plus a
-    disambiguator column set, keeping the assignment deterministic.
+    the fact side derives its salt from xxhash64 over ALL of its columns —
+    stable under task retries/recomputation (monotonically_increasing_id is
+    not), at the cost that fully-identical hot rows share a salt (acceptable:
+    identical rows carry no per-row state to skew).
     """
     fact_s = fact.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(salt)).cast("int")
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt)).cast("int"),
     )
     dim_s = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

@@ -359,6 +359,47 @@ GROUP BY keyword
 """
 
 
+# --- keyword positional hits (PDFExtraction.py:281-309 keyword -> page numbers) ------- #
+def t11_keyword_positions(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional variant of t09: per (keyword, doc) the token offsets of every
+    exact-token hit — the document-local analog of the reference's keyword ->
+    page-number lists. posexplode of the token split + broadcast keyword dim,
+    then groupBy re-collect; the explode keeps rows narrow (doc_id + one
+    token), so the shuffle is O(hits), not O(corpus text)."""
+    d = load(spark, sf, "documents")
+    kw = spark.createDataFrame([(k,) for k in KEYWORDS], "keyword string")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", "\\s+")).alias("pos", "tok")
+    )
+    hits = toks.join(F.broadcast(kw), F.col("tok") == F.col("keyword"))
+    return hits.groupBy("keyword", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min("pos").cast("long").alias("first_pos"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("pos")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("positions"),
+    )
+
+
+T11_SQL = f"""
+WITH kw(keyword) AS (VALUES {_KW_LIT}),
+t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+p AS (
+  SELECT keyword, doc_id,
+         [i - 1 FOR i IN range(1, len(toks) + 1) IF toks[i] = keyword] AS ps
+  FROM t CROSS JOIN kw
+)
+SELECT keyword, doc_id,
+       CAST(len(ps) AS BIGINT) AS n_hits,
+       CAST(ps[1] AS BIGINT) AS first_pos,
+       array_to_string(list_transform(ps, x -> x::VARCHAR), ',') AS positions
+FROM p WHERE len(ps) > 0
+"""
+
+
 # --- gazetteer mention detection (Aho-Corasick batch UDF, SURVEY §2.7) ---------------- #
 # term -> kind; includes a multi-word term, where the one-pass automaton
 # genuinely differs from per-keyword regex scans (t09)
@@ -404,4 +445,5 @@ QUERIES = {
     "t08_simhash": (t08_simhash, T08_SQL),
     "t09_keyword_hits": (t09_keyword_hits, T09_SQL),
     "t10_gazetteer_hits": (t10_gazetteer_hits, T10_SQL),
+    "t11_keyword_positions": (t11_keyword_positions, T11_SQL),
 }

@@ -43,6 +43,27 @@ def read_triples_csv(spark: SparkSession, path: str) -> DataFrame:
     ).select([f.name for f in TRIPLES.fields])
 
 
+def read_excel(
+    spark: SparkSession, path: str, sheet_name=0, usecols=None, schema=None
+) -> DataFrame:
+    """Excel source: pandas -> createDataFrame, the SURVEY §2.1 fixture-scale
+    wrapper for the reference's pd.read_excel(sheet_name=..., usecols=...)
+    (ground_truth_project_detail_formatter.py:117-132). Excel is a driver-side
+    dimension format — corpus-scale data belongs in parquet; this reads one
+    workbook on the driver and parallelizes the rows."""
+    try:
+        import openpyxl  # noqa: F401 — pandas' xlsx engine
+    except ImportError as e:  # pragma: no cover — engine present in real envs
+        raise ImportError(
+            "read_excel requires openpyxl (pandas' xlsx engine); "
+            "not installed in this container"
+        ) from e
+    import pandas as pd
+
+    pdf = pd.read_excel(path, sheet_name=sheet_name, usecols=usecols)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def write_triples_jsonl(triples: DataFrame, path: str) -> None:
     triples.write.mode("overwrite").json(path)
 

@@ -47,6 +47,27 @@ def test_pipeline_scan_reads_only_needed_columns(spark, tmp_path):
     }
 
 
+def test_zip_join_positions_match_windowed_oracle(spark):
+    got = {tuple(r) for r in R.q28_zip_join(spark, SF).collect()}
+    want = {tuple(r) for r in R.zip_join_windowed(spark, SF).collect()}
+    assert got == want and got
+
+
+def test_global_position_plan_has_no_single_partition_exchange(spark):
+    df = spark.range(0, 10_000, 1, 8).selectExpr("id", "id * 2 AS v")
+    pos = R.with_global_position(df, "id")
+    plan = _plan(pos)
+    assert "SinglePartition" not in plan, plan[:1200]
+    # the windowed formulation IS single-partition — the thing we avoided
+    from pyspark.sql import Window
+
+    wplan = _plan(df.withColumn("rn", F.row_number().over(Window.orderBy("id"))))
+    assert "SinglePartition" in wplan
+    # and the positions are the global sort order
+    rows = pos.orderBy("id").collect()
+    assert [r.rn for r in rows] == list(range(1, 10_001))
+
+
 def test_approx_distinct_within_5pct(spark):
     import duckdb
 

@@ -30,3 +30,23 @@ def test_jsonl_roundtrip(spark, triples_df, tmp_path):
     sources.write_triples_jsonl(triples_df, p)
     back = sources.read_triples_jsonl(spark, p)
     assert _key(back) == _key(triples_df)
+
+
+def test_excel_roundtrip_or_clear_error(spark, tmp_path):
+    """xlsx round-trip when an engine is available; a clear ImportError when
+    not (this container has no openpyxl — the wrapper must say so, not crash
+    deep inside pandas)."""
+    import pandas as pd
+    import pytest
+
+    pdf = pd.DataFrame({"id": [1, 2, 3], "name": ["a", "b", "c"]})
+    p = str(tmp_path / "dim.xlsx")
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="openpyxl"):
+            sources.read_excel(spark, p)
+        return
+    pdf.to_excel(p, index=False)
+    back = sources.read_excel(spark, p, usecols=["id", "name"])
+    assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b"), (3, "c")}
