@@ -124,33 +124,51 @@ import pandas as pd
 from pyspark.sql import types as T
 
 
+# Engine-portable hyperplane scheme (gives s03 an exact DuckDB oracle):
+# - integer weights W[p][j] in [-128, 127] from a 3-round modular LCG over the
+#   flat index i = p*dim + j (mod 2^55 keeps every product inside BIGINT on
+#   overflow-strict engines — same trick as textops.t08);
+# - vectors quantized to integers with floor(x*1e6 + 0.5) (IEEE-identical on
+#   both engines, unlike round(): numpy rounds half-to-even, DuckDB half-away);
+# - signature bit = (integer dot product >= 0) — exact arithmetic, so there is
+#   no float-summation-order hazard between numpy and SQL.
+_LCG_MOD = 1 << 55
+_LCG_MULT = 181
+_LCG_SEED = 25214903917
+_QUANT = 1_000_000
+
+
+def _plane_weights(n_planes: int, dim: int):
+    import numpy as np
+
+    i = (np.arange(n_planes, dtype=np.int64)[:, None] * dim
+         + np.arange(dim, dtype=np.int64)[None, :])
+    h = np.full_like(i, _LCG_SEED)
+    for r in (7919, 15838, 23757):
+        h = (h * _LCG_MULT + i + r) % _LCG_MOD
+    return (h % 256 - 128).astype(np.int64)  # (planes, dim) in [-128, 127]
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def _rh_bands_udf(vec: pd.Series) -> pd.Series:
     """Hyperplane-LSH band signatures, numpy-vectorized per Arrow batch.
 
-    Weights derive from splitmix64(plane, dim) so signatures are deterministic
-    across runs/parallelism. (Interpreted HOF expressions for this were the
-    s03 bottleneck — same finding as the canon MinHash.)"""
+    Deterministic across runs/parallelism AND engines (see the portable
+    scheme above). Interpreted HOF expressions for this were the s03
+    bottleneck — same finding as the canon MinHash."""
     import numpy as np
 
     dim = len(vec.iloc[0]) if len(vec) else 0
-    idx = np.arange(N_PLANES, dtype=np.uint64)[:, None] * np.uint64(1 << 32) + np.arange(
-        dim, dtype=np.uint64
-    )[None, :]
-    z = idx * np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    z = z ^ (z >> np.uint64(31))
-    W = (z.astype(np.float64) / 2**64) * 2.0 - 1.0  # (planes, dim) in [-1, 1)
+    W = _plane_weights(N_PLANES, dim)
     r = N_PLANES // N_BANDS_ANN
     out = []
-    with np.errstate(over="ignore"):
-        V = np.stack(vec.to_numpy()) if len(vec) else np.zeros((0, dim))
-        bits = (V @ W.T >= 0).astype(np.uint8)  # (n, planes)
-        for row in bits:
-            out.append(
-                ["".join(map(str, row[b * r : (b + 1) * r])) for b in range(N_BANDS_ANN)]
-            )
+    V = np.stack(vec.to_numpy()) if len(vec) else np.zeros((0, dim))
+    Vq = np.floor(V * _QUANT + 0.5).astype(np.int64)
+    bits = (Vq @ W.T >= 0).astype(np.uint8)  # (n, planes)
+    for row in bits:
+        out.append(
+            ["".join(map(str, row[b * r : (b + 1) * r])) for b in range(N_BANDS_ANN)]
+        )
     return pd.Series(out)
 
 
@@ -162,7 +180,11 @@ def _cos_np_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     B = np.stack(b.to_numpy())
     num = (A * B).sum(axis=1)
     den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-    return pd.Series(np.round(num / den, 6))
+    r = num / den
+    # round half-away-from-zero: matches Spark's F.round (BigDecimal HALF_UP)
+    # and DuckDB's round(); np.round is half-to-even and would diverge on
+    # exact midpoints
+    return pd.Series(np.sign(r) * np.floor(np.abs(r) * 1e6 + 0.5) / 1e6)
 
 
 def s03_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -200,8 +222,58 @@ def s03_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_DIM = 64  # embeddings table dim (all sfs); _plane_weights derives from data,
+# so a dim change shows up as an oracle mismatch, not silent drift
+
+_R_BITS = N_PLANES // N_BANDS_ANN
+S03_SQL = f"""
+WITH w AS (
+  SELECT p, j, CAST(h3 % 256 - 128 AS DOUBLE) AS wgt
+  FROM (
+    SELECT p, j,
+           (((({_LCG_SEED} * {_LCG_MULT} + i + 7919) % {_LCG_MOD})
+              * {_LCG_MULT} + i + 15838) % {_LCG_MOD}
+             * {_LCG_MULT} + i + 23757) % {_LCG_MOD} AS h3
+    FROM (SELECT pr.range AS p, jr.range AS j, pr.range * {_DIM} + jr.range AS i
+          FROM range({N_PLANES}) pr, range({_DIM}) jr)
+  )
+),
+wl AS (SELECT p, list(wgt ORDER BY j) AS ws FROM w GROUP BY p),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+vq AS (SELECT vec_id, [floor(x * {_QUANT} + 0.5) FOR x IN v] AS q FROM e),
+bits AS (
+  SELECT vec_id, p,
+         CASE WHEN list_dot_product(q, ws) >= 0 THEN '1' ELSE '0' END AS bit
+  FROM vq CROSS JOIN wl
+),
+sigs AS (
+  SELECT vec_id, p // {_R_BITS} AS band_id,
+         string_agg(bit, '' ORDER BY p) AS band_sig
+  FROM bits GROUP BY vec_id, p // {_R_BITS}
+),
+qs AS (SELECT vec_id AS query_id, band_id, band_sig FROM sigs
+       WHERE vec_id < {N_QUERIES}),
+cs AS (SELECT vec_id AS cand_id, band_id, band_sig FROM sigs
+       WHERE vec_id >= {N_QUERIES}),
+cand AS (SELECT DISTINCT query_id, cand_id FROM qs JOIN cs
+         USING (band_id, band_sig)),
+qv AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+cv AS (SELECT vec_id AS cand_id, v AS cv FROM e WHERE vec_id >= {N_QUERIES}),
+s AS (SELECT cand.query_id, cand.cand_id,
+             ROUND(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv))), 6) AS cos
+      FROM cand JOIN qv USING (query_id) JOIN cv USING (cand_id))
+SELECT query_id, cand_id, rank, cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, cand_id) AS rank
+  FROM s
+) WHERE rank <= {K}
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": (s01_cosine_topk, S01_SQL),
     "s02_neardup_pairs": (s02_neardup_pairs, S02_SQL),
-    "s03_ann_lsh": (s03_ann_lsh, None),
+    "s03_ann_lsh": (s03_ann_lsh, S03_SQL),
 }

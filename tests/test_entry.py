@@ -19,9 +19,10 @@ def test_oracle_keys_subset_of_queries():
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 30
-    # the non-SQL-expressible ops are known and deliberate (t07/t08 gained
-    # exact oracles in round 2: recursive-CTE closure / portable token hash)
-    assert set(qs) - set(oracles) == {"s03_ann_lsh", "q29_approx_distinct"}
+    # q29 is the only deliberate rows-only query (HLL estimates differ between
+    # engines by design); t07/t08/s03 gained exact oracles in round 2 via
+    # recursive-CTE closure / engine-portable hashing
+    assert set(qs) - set(oracles) == {"q29_approx_distinct"}
 
 
 def test_entry_runs_and_has_stable_schema(spark):
