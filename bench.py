@@ -33,8 +33,10 @@ HEADLINE = [
 
 
 def _ensure_pages_fixture(n: int) -> str:
-    """Deterministic pages parquet, cached under /tmp keyed by n."""
-    path = f"/tmp/kgx_bench_pages_{n}"
+    """Deterministic pages parquet, cached under /tmp keyed by (n, version)."""
+    from kgx.fixtures import FIXTURE_VERSION
+
+    path = f"/tmp/kgx_bench_pages_{n}_v{FIXTURE_VERSION}"
     marker = os.path.join(path, "_SUCCESS_KGX")
     if not os.path.exists(marker):
         from kgx.fixtures import write_fixture

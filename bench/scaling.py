@@ -19,7 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _pages_fixture(n: int) -> str:
-    path = f"/tmp/kgx_bench_pages_{n}"
+    from kgx.fixtures import FIXTURE_VERSION
+
+    path = f"/tmp/kgx_bench_pages_{n}_v{FIXTURE_VERSION}"
     marker = os.path.join(path, "_SUCCESS_KGX")
     if not os.path.exists(marker):
         from kgx.fixtures import write_fixture, write_pages_chunked

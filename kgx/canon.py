@@ -254,7 +254,10 @@ def dedup_clusters(
     keyed = docs.select(
         F.col(id_col).cast("string").alias("surface"), F.col(text_col).alias("_text")
     )
-    surf = keyed.mapInPandas(_keyed_sig_gen(shingle), schema=_KEYED_SCHEMA)
+    # checkpoint: the erep aggregate and the join-back are separate plan
+    # branches that would each re-run the signature UDF over the corpus —
+    # the one genuinely O(corpus-bytes) compute here
+    surf = keyed.mapInPandas(_keyed_sig_gen(shingle), schema=_KEYED_SCHEMA).localCheckpoint()
     # exact-dup prepass: min id per distinct content hash. The narrow (h, id)
     # projection shuffles first; the wide signature rows shuffle once on h —
     # the same linear cost class as any exact-dedup groupBy.
@@ -435,6 +438,10 @@ def connected_components(
     Component ids differ between the two paths (min-surface vs min-hash) but
     grouping — the only thing consumers use — is identical.
     """
+    # materialize once: the guard stats, the touched-node projection, and the
+    # chosen CC strategy are all separate actions that would otherwise each
+    # re-run the whole upstream blocking/verification pipeline
+    edges = edges.localCheckpoint()
     stats = edges.limit(DRIVER_CC_MAX_EDGES + 1).agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(

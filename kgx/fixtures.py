@@ -19,6 +19,9 @@ from kgx import kernel
 from kgx.config import CATEGORIES, METHODOLOGY_CODES, US_STATE_ABBR
 
 SEED = 42
+# bump when gen_pages output changes — cached bench corpora under /tmp are
+# keyed by (n, FIXTURE_VERSION) so stale generations can't leak into numbers
+FIXTURE_VERSION = 2
 
 # --------------------------------------------------------------------------- #
 # entity pools (FIXTURES.md §2)

@@ -254,6 +254,33 @@ def categorize_heading(title: str) -> str | None:
     return None
 
 
+def _compress_heading(s: str) -> str:
+    """lower + delete '-' and ' ' — initial_pipeline/app.py:255,261."""
+    return s.lower().translate(str.maketrans("", "", "- "))
+
+
+def resolve_sections_last_match(text: str) -> dict[str, dict]:
+    """category -> winning section, 'last match wins' semantics of the
+    reference's initial pipeline (app.py:245-271): per category, variants try
+    in order; the first variant with any compressed-containment match claims
+    the category, and among that variant's matches the LAST heading in the
+    document wins ('There can be up to 2 matches, we should go with the second
+    one / Since the first one can be the real TOC in the PDF'). The default
+    pipeline uses first-match-by-priority (categorize_heading); this variant
+    exists for reference parity and is mirrored relationally in
+    kgx.sections.categorize_last_match."""
+    secs = sections_from_text(text)
+    out: dict[str, dict] = {}
+    for cat, variants in HEADING_VARIANTS.items():
+        for v in variants:
+            cv = _compress_heading(v)
+            matches = [s for s in secs if cv in _compress_heading(s["section"])]
+            if matches:
+                out[cat] = matches[-1]
+                break
+    return out
+
+
 # --------------------------------------------------------------------------- #
 # chunking (context_extractor.py:84,108,111-112 RecursiveCharacterTextSplitter)
 # --------------------------------------------------------------------------- #

@@ -27,12 +27,15 @@ _STRIP_RE = r"^\s+|\s+$"  # Spark-side equivalent of str.strip()
 
 
 def variant_dim(spark: SparkSession) -> DataFrame:
-    """(category, variant, priority) broadcast dimension from config."""
+    """(category, variant, priority, vprio) broadcast dimension from config;
+    priority orders categories, vprio orders variants within a category."""
     rows = []
     for prio, (cat, variants) in enumerate(HEADING_VARIANTS.items()):
-        for v in variants:
-            rows.append((cat, v, prio))
-    return spark.createDataFrame(rows, "category string, variant string, priority int")
+        for vprio, v in enumerate(variants):
+            rows.append((cat, v, prio, vprio))
+    return spark.createDataFrame(
+        rows, "category string, variant string, priority int, vprio int"
+    )
 
 
 def section_spans(heading_rows: DataFrame) -> DataFrame:
@@ -56,7 +59,37 @@ def categorize(sections: DataFrame, variants: DataFrame) -> DataFrame:
     return (
         joined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "variant", "priority")
+        .drop("_rn", "variant", "priority", "vprio")
+    )
+
+
+def categorize_last_match(sections: DataFrame, variants: DataFrame) -> DataFrame:
+    """'Last match wins' resolution, the reference's initial-pipeline variant
+    (app.py:245-271; mirrored by kernel.resolve_sections_last_match): match by
+    compressed containment (lower + strip '- ') against the full heading line;
+    per (url, category) the first variant (vprio) with any match claims the
+    category and its LAST document-order match wins — the first can be the
+    document's real ToC listing. One heading may win several categories (the
+    reference resolves each section key independently)."""
+
+    def comp(c):
+        return F.translate(F.lower(c), "- ", "")
+
+    joined = sections.join(
+        F.broadcast(variants),
+        comp(F.col("heading")).contains(comp(F.col("variant"))),
+        "inner",
+    )
+    wcat = Window.partitionBy("url", "category")
+    best = (
+        joined.withColumn("_bv", F.min("vprio").over(wcat))
+        .filter(F.col("vprio") == F.col("_bv"))
+    )
+    wlast = wcat.orderBy(F.desc("start_off"))
+    return (
+        best.withColumn("_rn", F.row_number().over(wlast))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_bv", "variant", "priority", "vprio")
     )
 
 

@@ -60,6 +60,55 @@ def test_contexts_match_golden(spark, pages_rows, kernel_df):
     assert got == gold
 
 
+def test_last_match_resolution_parity_and_differs_from_first(spark, pages_rows, kernel_df):
+    """categorize_last_match (app.py:245-271 'second match wins') matches the
+    kernel mirror on the whole fixture corpus, and on a duplicate-heading doc
+    it picks the LATER heading where first-match picks the earlier one."""
+    spans = sections.section_spans(textextract.heading_rows(kernel_df))
+    got = {
+        (r.url, r.category): r.start_off
+        for r in sections.categorize_last_match(spans, sections.variant_dim(spark)).collect()
+    }
+    want = {}
+    for p in pages_rows:
+        for cat, s in kernel.resolve_sections_last_match(p["text"]).items():
+            want[(p["url"], cat)] = s["start_off"]
+    assert got == want and got
+
+    html = (
+        "<html><body>"
+        "<h1>1. INTRO</h1>"
+        "<h2>1.1 PROJECT PROPONENT (S)</h2><p>first occurrence</p>"
+        "<h2>1.2 OTHER</h2><p>x</p>"
+        "<h1>2. ANNEX</h1>"
+        "<h2>2.1 PROJECT PROPONENT DETAILS</h2><p>second occurrence</p>"
+        "</body></html>"
+    ).encode()
+    text = kernel.html_to_text(html)
+    res = kernel.resolve_sections_last_match(text)
+    secs = kernel.sections_from_text(text)
+    firsts = {}
+    for s in secs:
+        cat = kernel.categorize_heading(s["title"])
+        if cat:
+            firsts.setdefault(cat, s)  # first document-order match
+    assert res["project_proponents"]["number"] == "2.1"
+    assert firsts["project_proponents"]["number"] == "1.1"
+    import datetime
+    pdf = pd.DataFrame([{
+        "url": "https://t.example.com/proj/000002",
+        "warc_ts": datetime.datetime(2024, 1, 1),
+        "html": html, "text": text, "lang": "en",
+    }])
+    kdf = textextract.kernel_pass(spark.createDataFrame(pdf))
+    spans2 = sections.section_spans(textextract.heading_rows(kdf))
+    got2 = {
+        r.category: r.number
+        for r in sections.categorize_last_match(spans2, sections.variant_dim(spark)).collect()
+    }
+    assert got2["project_proponents"] == "2.1"
+
+
 @pytest.mark.parametrize("mode", ["redundant", "best1"])
 def test_contexts_refined_match_golden(spark, pages_rows, kernel_df, mode):
     ctx = sections.build_contexts_refined(spark, kernel_df, mode=mode)
