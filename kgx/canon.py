@@ -258,16 +258,27 @@ def dedup_clusters(
     # branches that would each re-run the signature UDF over the corpus —
     # the one genuinely O(corpus-bytes) compute here
     surf = keyed.mapInPandas(_keyed_sig_gen(shingle), schema=_KEYED_SCHEMA).localCheckpoint()
-    # exact-dup prepass: min id per distinct content hash. The narrow (h, id)
-    # projection shuffles first; the wide signature rows shuffle once on h —
-    # the same linear cost class as any exact-dedup groupBy.
-    erep = surf.select("surface", "h").groupBy("h").agg(
-        F.min("surface").alias("erep")
+    # exact-dup prepass: min id per distinct content hash, from the NARROW
+    # (h, id) projection only (checkpointed: members and reps both read it).
+    erep = (
+        surf.select("surface", "h")
+        .groupBy("h")
+        .agg(F.min("surface").alias("erep"))
+        .localCheckpoint()
     )
-    joined = surf.join(erep, "h").localCheckpoint()  # two consumers below
-    members = joined.select("surface", "erep")
-    reps = joined.filter(F.col("surface") == F.col("erep")).select(
-        "surface", "sh_hash", "sig"
+    members = surf.select("surface", "h").join(erep, "h").select("surface", "erep")
+    # representatives keep their wide signature rows via a semi join — the only
+    # corpus-width shuffle; checkpointed because candidate_pairs reads reps
+    # twice (band explode + shingle-set join-back). Wide copies total
+    # surf + reps (reps <= distinct texts), never two full-corpus copies.
+    reps = (
+        surf.join(
+            erep.select("h", F.col("erep").alias("surface")),
+            ["h", "surface"],
+            "left_semi",
+        )
+        .select("surface", "sh_hash", "sig")
+        .localCheckpoint()
     )
     edges = verified_edges(
         candidate_pairs(reps, bucket_cap=bucket_cap, n_bands=n_bands),
@@ -444,8 +455,10 @@ def connected_components(
     edges = edges.localCheckpoint()
     stats = edges.limit(DRIVER_CC_MAX_EDGES + 1).agg(
         F.count(F.lit(1)).alias("n"),
+        # octet_length, not length: the budget guards serialized bytes, and
+        # multi-byte surfaces (CJK) undercount 2-4x with character counts
         F.coalesce(
-            F.sum(F.length("a") + F.length("b")), F.lit(0)
+            F.sum(F.octet_length("a") + F.octet_length("b")), F.lit(0)
         ).alias("nbytes"),
     ).first()
     touched = (

@@ -16,7 +16,13 @@ import random
 from datetime import datetime, timedelta
 
 from kgx import kernel
-from kgx.config import CATEGORIES, METHODOLOGY_CODES, US_STATE_ABBR
+from kgx.config import (
+    CATEGORIES,
+    GAZETTEER_CITIES,
+    GAZETTEER_COUNTRIES,
+    METHODOLOGY_CODES,
+    US_STATE_ABBR,
+)
 
 SEED = 42
 # bump when gen_pages output changes — cached bench corpora under /tmp are
@@ -62,8 +68,6 @@ ORGS: list[dict] = [
         ]
     )
 ]
-
-from kgx.config import GAZETTEER_CITIES, GAZETTEER_COUNTRIES
 
 CITIES = list(GAZETTEER_CITIES)
 COUNTRIES = list(GAZETTEER_COUNTRIES)

@@ -461,10 +461,16 @@ _EMAIL_MENTION_RE = re.compile(
 _ORG_BLOCK_RE = re.compile(r"(?m)(?=^Organization Name:)")
 
 
-def _gazetteer_case() -> dict[str, str]:
-    from kgx.config import GAZETTEER_CITIES, GAZETTEER_COUNTRIES
+_GAZ_CASE: dict[str, str] | None = None
 
-    return {t.lower(): t for t in (*GAZETTEER_CITIES, *GAZETTEER_COUNTRIES)}
+
+def _gazetteer_case() -> dict[str, str]:
+    global _GAZ_CASE
+    if _GAZ_CASE is None:
+        from kgx.config import GAZETTEER_CITIES, GAZETTEER_COUNTRIES
+
+        _GAZ_CASE = {t.lower(): t for t in (*GAZETTEER_CITIES, *GAZETTEER_COUNTRIES)}
+    return _GAZ_CASE
 
 
 def _first_gazetteer_mention(text: str, terms: tuple[str, ...]) -> str | None:

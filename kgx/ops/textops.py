@@ -224,11 +224,14 @@ def t07_minhash_clusters(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "cluster_key", "cluster_size")
 
 
+from kgx.canon import JACCARD_THRESHOLD as _J_THRESH  # noqa: E402
+
 # Exact mirror of the Spark clustering: normalize (lower, non-alnum -> space,
 # collapse), token 3-grams with the whole-string fallback, all-pairs Jaccard
-# >= canon.JACCARD_THRESHOLD edges, transitive closure by recursive CTE,
+# >= canon.JACCARD_THRESHOLD edges (interpolated below so engine and oracle
+# can't desync), transitive closure by recursive CTE,
 # cluster key = md5(min doc_id).
-T07_SQL = """
+T07_SQL = f"""
 WITH RECURSIVE d AS (
   SELECT doc_id,
          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
@@ -245,7 +248,7 @@ WITH RECURSIVE d AS (
   SELECT x.doc_id AS a, y.doc_id AS b
   FROM g x JOIN g y ON x.doc_id < y.doc_id
   WHERE len(list_intersect(x.grams, y.grams))::DOUBLE
-        / len(list_distinct(list_concat(x.grams, y.grams))) >= 0.4
+        / len(list_distinct(list_concat(x.grams, y.grams))) >= {_J_THRESH}
 ), sym AS (
   SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
 ), reach AS (
@@ -288,17 +291,23 @@ def t08_simhash(spark: SparkSession, sf: str) -> DataFrame:
         f"aggregate(transform(split(t, ''), ch -> bigint(ascii(ch))), "
         f"{_POLY_SEED}L, {step}), {step})"
     )
+    # hs projected in its OWN select: interpreted HOF lambdas get no common-
+    # subexpression elimination, so embedding hs in the per-bit lambda would
+    # recompute the char-level fold 55x per document (CollapseProject keeps
+    # non-cheap multi-referenced aliases in separate projections)
+    hs = (
+        "transform(array_distinct(split(trim(lower(text)), '\\\\s+')),"
+        f" t -> {tok_hash}) AS hs"
+    )
     sim = (
         "aggregate("
         "  transform(sequence(0, 54), b -> CASE WHEN aggregate("
-        "      transform(array_distinct(split(trim(lower(text)), '\\\\s+')),"
-        f"       t -> {tok_hash}),"
-        "      0, (acc, h) -> acc + CASE WHEN (shiftright(h, b) & 1) = 1"
+        "      hs, 0, (acc, h) -> acc + CASE WHEN (shiftright(h, b) & 1) = 1"
         "                               THEN 1 ELSE -1 END) > 0"
         "    THEN shiftleft(1L, b) ELSE 0L END),"
         "  0L, (acc, x) -> acc | x) AS simhash"
     )
-    return d.selectExpr("doc_id", sim)
+    return d.selectExpr("doc_id", hs).selectExpr("doc_id", sim)
 
 
 T08_SQL = f"""

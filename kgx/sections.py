@@ -122,12 +122,10 @@ def _score_udf(chunk: pd.Series, category: pd.Series) -> pd.Series:
     )
 
 
-def contexts(bodies: DataFrame) -> DataFrame:
-    """Chunk -> score -> keep top ceil(n/2) in document order -> join with \\n.
-
-    Single-chunk sections skip scoring entirely (the common case: no pandas UDF
-    on that path beyond chunking). Matches kernel.select_context bit-for-bit.
-    """
+def _chunked_single_topk(bodies: DataFrame):
+    """Shared retrieval prefix: chunk-explode, per-(url, category) counts,
+    single-chunk fast path, and the top-ceil(n/2) retrieval window over the
+    scored multi-chunk groups. Returns (single_contexts, kept_topk_rows)."""
     from pyspark import StorageLevel
 
     chunked = bodies.select(
@@ -139,19 +137,27 @@ def contexts(bodies: DataFrame) -> DataFrame:
     chunked = chunked.withColumn("n_chunks", F.count("*").over(grp)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-
     single = chunked.filter(F.col("n_chunks") <= 1).select(
         "url", "warc_ts", "content_sha", "category",
         F.regexp_replace("chunk", _STRIP_RE, "").alias("context"),
     )
-
     multi = chunked.filter(F.col("n_chunks") > 1).withColumn(
         "score", _score_udf("chunk", "category")
     )
     w = grp.orderBy(F.desc("score"), F.asc("chunk_id"))
     kept = multi.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= F.ceil(F.col("n_chunks") / 2)
-    )
+    ).drop("_rn", "n_chunks")
+    return single, kept
+
+
+def contexts(bodies: DataFrame) -> DataFrame:
+    """Chunk -> score -> keep top ceil(n/2) in document order -> join with \\n.
+
+    Single-chunk sections skip scoring entirely (the common case: no pandas UDF
+    on that path beyond chunking). Matches kernel.select_context bit-for-bit.
+    """
+    single, kept = _chunked_single_topk(bodies)
     rejoined = (
         kept.groupBy("url", "warc_ts", "content_sha", "category")
         .agg(
@@ -229,31 +235,8 @@ def contexts_refined(
     Byte-equal to kernel.select_context_{redundant,best1} (tested)."""
     if mode not in ("best1", "redundant"):
         raise ValueError(f"unknown mode {mode!r}")
-    from pyspark import StorageLevel
-
-    chunked = bodies.select(
-        "url", "warc_ts", "content_sha", "category",
-        F.posexplode(_chunks_udf("body")).alias("chunk_id", "chunk"),
-    )
-    grp = Window.partitionBy("url", "category")
-    chunked = chunked.withColumn("n_chunks", F.count("*").over(grp)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    single = chunked.filter(F.col("n_chunks") <= 1).select(
-        "url", "warc_ts", "content_sha", "category",
-        F.regexp_replace("chunk", _STRIP_RE, "").alias("context"),
-    )
-    multi = (
-        chunked.filter(F.col("n_chunks") > 1)
-        .withColumn("score", _score_udf("chunk", "category"))
-        .withColumn(
-            "_rn",
-            F.row_number().over(grp.orderBy(F.desc("score"), F.asc("chunk_id"))),
-        )
-        .filter(F.col("_rn") <= F.ceil(F.col("n_chunks") / 2))
-        .drop("_rn", "n_chunks")
-    )
-    refined = multi.groupBy("url", "category").applyInPandas(
+    single, kept = _chunked_single_topk(bodies)
+    refined = kept.groupBy("url", "category").applyInPandas(
         _refine_group_fn(mode, threshold), schema=_CTX_SCHEMA
     )
     return single.unionByName(refined)

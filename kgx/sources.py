@@ -61,6 +61,11 @@ def read_excel(
     import pandas as pd
 
     pdf = pd.read_excel(path, sheet_name=sheet_name, usecols=usecols)
+    if isinstance(pdf, dict):  # sheet_name=None / list -> dict of frames
+        raise ValueError(
+            "read_excel wraps one sheet per DataFrame; pass a single "
+            f"sheet_name (got {sheet_name!r} -> {sorted(pdf)})"
+        )
     return spark.createDataFrame(pdf, schema=schema)
 
 

@@ -48,3 +48,23 @@ def test_salted_collect_equals_plain(spark):
         for r in skew.salted_collect(df, "domain", "id").collect()
     }
     assert salted == plain
+
+
+def test_salted_join_tolerates_map_columns(spark):
+    """Spark's hash functions reject MapType; the salt derivation must skip
+    map columns instead of throwing AnalysisException."""
+    fact = spark.createDataFrame(
+        [(i, "hot", {"k": str(i)}) for i in range(200)],
+        "id long, domain string, props map<string,string>",
+    )
+    dim = spark.createDataFrame([("hot", "H")], "domain string, label string")
+    out = skew.salted_join(fact, dim, "domain")
+    assert out.count() == 200
+    # salts actually spread the hot key (ids differ -> hashes differ)
+    n_salts = (
+        fact.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64("id", "domain"), F.lit(skew.DEFAULT_SALT)),
+        ).select("_salt").distinct().count()
+    )
+    assert n_salts > 1
