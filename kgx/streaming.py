@@ -56,3 +56,72 @@ def ingest_available_now(spark: SparkSession, pages_dir: str, store) -> list[str
     )
     q.awaitTermination()
     return committed
+
+
+def pages_stream(spark: SparkSession, pages_dir: str) -> DataFrame:
+    return spark.readStream.schema(PAGES).parquet(pages_dir)
+
+
+def windowed_page_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time tumbling-window page counts per lang with a watermark —
+    the standard late-data-tolerant streaming aggregation (no analog in the
+    reference, which is batch-only; this is the engine's ingestion-monitoring
+    surface). In append mode a window emits once the watermark passes its end;
+    tests run outputMode('complete') for determinism and assert equality with
+    the batch groupBy(window(...)) of the same data."""
+    return (
+        stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window), F.col("lang"))
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "lang",
+            "n_pages",
+        )
+    )
+
+
+def first_seen_by_content(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): emit each
+    distinct page content exactly once across ALL micro-batches, keyed by
+    sha2(html) — the streaming form of the reference's content-hash cache
+    (initial_pipeline/app.py:70-81). State per key = times seen; only the
+    first arrival emits. Built-in dropDuplicates needs a watermark to bound
+    state by time; this keeps the content-addressed forever-dedup semantics
+    the cache had, while demonstrating the custom-state seam
+    (SURVEY.md §2.10)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        prev = state.get[0] if state.exists else 0
+        n = 0
+        first_url = None
+        for pdf in pdfs:
+            if first_url is None and len(pdf):
+                first_url = pdf["url"].iloc[0]
+            n += len(pdf)
+        state.update((prev + n,))
+        if prev == 0 and n > 0:
+            yield pd.DataFrame(
+                {"content_sha": [key[0]], "first_url": [first_url],
+                 "n_seen": [n]}
+            )
+        else:
+            yield pd.DataFrame(
+                {"content_sha": pd.Series(dtype="object"),
+                 "first_url": pd.Series(dtype="object"),
+                 "n_seen": pd.Series(dtype="int64")}
+            )
+
+    keyed = stream.withColumn("content_sha", F.sha2(F.col("html"), 256))
+    return keyed.groupBy("content_sha").applyInPandasWithState(
+        fn,
+        outputStructType="content_sha string, first_url string, n_seen long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -61,3 +61,77 @@ def test_available_now_ingest_and_incremental_pickup(spark, tmp_path):
     got_subj = {r.subj for r in store.read(spark).select("subj").distinct().collect()}
     want_subj = {r.subj for r in oneshot.select("subj").distinct().collect()}
     assert got_subj == want_subj
+
+
+def test_windowed_page_counts_matches_batch(spark, tmp_path):
+    """Watermarked event-time window agg over the stream == batch window agg."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pages = fixtures.gen_pages(60)
+    pages_dir = str(tmp_path / "inbox")
+    _write_pages(pages, f"{pages_dir}/part-0.parquet")
+
+    stream = streaming.pages_stream(spark, pages_dir)
+    q = (
+        streaming.windowed_page_counts(stream, window="10 minutes")
+        .writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.win_start, r.lang): r.n_pages
+        for r in spark.sql("SELECT * FROM wincounts").collect()
+    }
+    batch = spark.createDataFrame(pd.DataFrame(pages))
+    want = {
+        (r.win_start, r.lang): r.n_pages
+        for r in (
+            batch.groupBy(F.window("warc_ts", "10 minutes"), "lang")
+            .agg(F.count(F.lit(1)).alias("n_pages"))
+            .select(F.col("window.start").alias("win_start"), "lang", "n_pages")
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_first_seen_by_content_dedups_across_batches(spark, tmp_path):
+    """Custom stateful operator: duplicate page content arriving in a LATER
+    micro-batch is suppressed (state survives via the stream checkpoint)."""
+    pages = fixtures.gen_pages(12)
+    pages_dir = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt_dedup")
+
+    def run_wave():
+        rows = []
+
+        def sink(batch_df, epoch_id):
+            rows.extend(tuple(r) for r in batch_df.collect())
+
+        # foreachBatch (not memory sink): the memory sink can't recover from a
+        # checkpoint, and cross-restart state is exactly what's under test
+        q = (
+            streaming.first_seen_by_content(streaming.pages_stream(spark, pages_dir))
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return rows
+
+    _write_pages(pages[:8], f"{pages_dir}/part-0.parquet")
+    out1 = run_wave()
+    assert len(out1) == 8  # all distinct first wave
+
+    # second wave: 4 new pages + 3 exact duplicates of wave 1
+    _write_pages(pages[8:] + pages[:3], f"{pages_dir}/part-1.parquet")
+    out2 = run_wave()
+    assert len(out2) == 4  # duplicates suppressed by keyed state
+    urls = {r[1] for r in out1 + out2}
+    assert urls == {p["url"] for p in pages}
