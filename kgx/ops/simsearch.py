@@ -272,8 +272,187 @@ SELECT query_id, cand_id, rank, cos FROM (
 """
 
 
+# --- IVF ANN: coarse quantizer (Lloyd iterations) -> probe cells -> re-rank ---------- #
+# All cluster arithmetic runs on integer-quantized, NON-NEGATIVE vectors
+# (floor(x*1e6+0.5) + 1e6): distances and centroid floor-divisions are exact
+# integers, so numpy/Spark and DuckDB agree bit-for-bit (shifting makes
+# truncating division == floor division; DuckDB's // truncates, numpy floors).
+K_CELLS = 8
+N_PROBE = 2
+IVF_ITERS = 2  # centroid updates; assignments = IVF_ITERS + 1 (final)
+
+
+def _quant_shifted(col):
+    return F.transform(
+        col, lambda x: (F.floor(x * _QUANT + 0.5) + _QUANT).cast("long")
+    )
+
+
+def _sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def s04_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: K_CELLS-cell coarse quantizer trained with IVF_ITERS
+    deterministic Lloyd iterations (seeds = the K smallest cand_ids), queries
+    probe the N_PROBE nearest cells, exact cosine re-ranks the probed members.
+
+    Scale shape: centroids are always O(K) — collected/broadcast per iteration
+    (the standard k-means dataflow); assignments and cell membership stay
+    distributed. The interpreted-HOF distance is fine at K*corpus this size;
+    the corpus-scale variant scores assignments in a numpy pandas UDF exactly
+    like _rh_bands_udf. Integer quantization (see above) makes the oracle
+    (S04_SQL) value-exact, tie-breaks included ((distance, cidx) ordering).
+    """
+    q, c = _split(spark, sf)
+    cq = c.select("cand_id", "cv", _quant_shifted("cv").alias("vq")).localCheckpoint()
+
+    seeds = cq.orderBy("cand_id").limit(K_CELLS).select("vq").collect()
+    cents = [(i, [int(x) for x in r["vq"]]) for i, r in enumerate(seeds)]
+
+    def assign(cent_rows):
+        cent_df = spark.createDataFrame(cent_rows, "cidx int, cent array<long>")
+        w = Window.partitionBy("cand_id")
+        return (
+            cq.crossJoin(F.broadcast(cent_df))
+            .withColumn("d", _sqdist("vq", "cent"))
+            .withColumn("best", F.min(F.struct("d", "cidx")).over(w))
+            .filter(
+                (F.col("d") == F.col("best.d"))
+                & (F.col("cidx") == F.col("best.cidx"))
+            )
+            .select("cand_id", "cv", "vq", "cidx")
+        )
+
+    dim = len(cents[0][1])
+    for _ in range(IVF_ITERS):
+        sums = (
+            assign(cents)
+            .groupBy("cidx")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("vq", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new = {
+            r["cidx"]: [int(r[f"s{i}"]) // int(r["n"]) for i in range(dim)]
+            for r in sums
+        }
+        cents = [(i, new.get(i, v)) for i, v in cents]  # empty cell keeps its centroid
+
+    cells = assign(cents).select("cand_id", "cv", "cidx").localCheckpoint()
+
+    cent_df = spark.createDataFrame(cents, "cidx int, cent array<long>")
+    qq = q.select("query_id", "qv", _quant_shifted("qv").alias("vq"))
+    wq = Window.partitionBy("query_id").orderBy("d", "cidx")
+    probe = (
+        qq.crossJoin(F.broadcast(cent_df))
+        .withColumn("d", _sqdist("vq", "cent"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= N_PROBE)
+        .select("query_id", "qv", "cidx")
+    )
+    scored = probe.join(cells, "cidx").withColumn(
+        "cos", F.round(_cosine(F.col("qv"), F.col("cv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "cand_id", "rank", "cos")
+    )
+
+
+def _sql_sqdist(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_sum([({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+        f"FOR i IN range(1, {dim} + 1)])"
+    )
+
+
+def _sql_assign(cent_cte: str, tag: str) -> str:
+    """One Lloyd assignment + centroid update, mirrored from the Spark loop."""
+    d = _sqdist_sql = _sql_sqdist("c.vq", "ct.cent", _DIM)
+    return f"""
+a{tag} AS (
+  SELECT cand_id, vq, cidx FROM (
+    SELECT c.cand_id, c.vq, ct.cidx,
+           ROW_NUMBER() OVER (PARTITION BY c.cand_id
+                              ORDER BY {d}, ct.cidx) AS rn
+    FROM c CROSS JOIN {cent_cte} ct
+  ) WHERE rn = 1
+),
+sums{tag} AS (
+  SELECT cidx, i, CAST(SUM(vq[i]) // COUNT(*) AS BIGINT) AS s
+  FROM a{tag}, range(1, {_DIM} + 1) r(i)
+  GROUP BY cidx, i
+),
+newcent{tag} AS (SELECT cidx, list(s ORDER BY i) AS cent FROM sums{tag} GROUP BY cidx),
+cent{tag} AS (
+  SELECT c0.cidx, COALESCE(n.cent, c0.cent) AS cent
+  FROM {cent_cte} c0 LEFT JOIN newcent{tag} n USING (cidx)
+)"""
+
+
+S04_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cand_id, v AS cv,
+             [(floor(x * {_QUANT} + 0.5) + {_QUANT})::BIGINT FOR x IN v] AS vq
+      FROM e WHERE vec_id >= {N_QUERIES}),
+q AS (SELECT vec_id AS query_id, v AS qv,
+             [(floor(x * {_QUANT} + 0.5) + {_QUANT})::BIGINT FOR x IN v] AS vq
+      FROM e WHERE vec_id < {N_QUERIES}),
+cent0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY cand_id) - 1 AS cidx, vq AS cent
+  FROM (SELECT cand_id, vq FROM c ORDER BY cand_id LIMIT {K_CELLS})
+),{_sql_assign("cent0", "1")},{_sql_assign("cent1", "2")},
+cells AS (
+  SELECT cand_id, cidx FROM (
+    SELECT c.cand_id, ct.cidx,
+           ROW_NUMBER() OVER (PARTITION BY c.cand_id
+                              ORDER BY {_sql_sqdist("c.vq", "ct.cent", _DIM)},
+                                       ct.cidx) AS rn
+    FROM c CROSS JOIN cent2 ct
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT query_id, cidx FROM (
+    SELECT q.query_id, ct.cidx,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_sql_sqdist("q.vq", "ct.cent", _DIM)},
+                                       ct.cidx) AS rn
+    FROM q CROSS JOIN cent2 ct
+  ) WHERE rn <= {N_PROBE}
+),
+s AS (
+  SELECT p.query_id, cl.cand_id,
+         ROUND(list_dot_product(q.qv, c.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
+  FROM probe p
+  JOIN cells cl USING (cidx)
+  JOIN q ON q.query_id = p.query_id
+  JOIN c ON c.cand_id = cl.cand_id
+)
+SELECT query_id, cand_id, rank, cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, cand_id) AS rank
+  FROM s
+) WHERE rank <= {K}
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": (s01_cosine_topk, S01_SQL),
     "s02_neardup_pairs": (s02_neardup_pairs, S02_SQL),
     "s03_ann_lsh": (s03_ann_lsh, S03_SQL),
+    "s04_ann_ivf": (s04_ann_ivf, S04_SQL),
 }

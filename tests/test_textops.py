@@ -42,3 +42,16 @@ def test_exact_dedup_marks_no_dups_on_unique_corpus(spark):
     d = textops.t01_dedup_exact(spark, SF)
     # driver corpus is all-unique; every doc keeps itself
     assert d.filter(F.col("is_dup") == 1).count() == 0
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    exact = simsearch.s01_cosine_topk(spark, SF)
+    approx = simsearch.s04_ann_ivf(spark, SF)
+    e = {(r.query_id, r.cand_id) for r in exact.collect()}
+    a = {(r.query_id, r.cand_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
+    # every query returns a full top-k from its probed cells
+    import collections
+    per_q = collections.Counter(q for q, _ in a)
+    assert all(v == 3 for v in per_q.values())
