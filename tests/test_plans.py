@@ -68,6 +68,35 @@ def test_global_position_plan_has_no_single_partition_exchange(spark):
     assert [r.rn for r in rows] == list(range(1, 10_001))
 
 
+def test_dedup_clusters_never_shuffles_text(spark):
+    """Round-1 finding: doc dedup shuffled full text as the join key. The
+    id-keyed path drops text at the signature UDF — every downstream schema
+    carries only ids + hashes, and the clustered output plan references no
+    text column."""
+    from kgx import canon
+
+    docs = spark.createDataFrame(
+        [(i, f"some document text number {i} with words") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = canon.dedup_clusters(docs)
+    assert set(out.columns) == {"doc_id", "component"}
+    plan = _plan(out)
+    assert "text" not in plan, plan[:1500]
+    # the signature schema itself carries no raw text either
+    assert "_text" not in canon._KEYED_SCHEMA
+
+
+def test_keyword_positions_token_join_is_broadcast(spark):
+    """t11 explodes every token but must join the keyword dim broadcast —
+    only hits reach the aggregation shuffle, never the token stream."""
+    from kgx.ops import textops
+
+    plan = _plan(textops.t11_keyword_positions(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_approx_distinct_within_5pct(spark):
     import duckdb
 
