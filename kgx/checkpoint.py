@@ -102,6 +102,20 @@ class TripleStore:
         df = spark.read.option("basePath", self.data_dir).parquet(*paths)
         return df.drop("unit")
 
+    def read_as_of(self, spark: SparkSession, unit_id: str) -> DataFrame:
+        """Snapshot time-travel (Iceberg `VERSION AS OF` stand-in): the table
+        as of a given commit unit — every unit with id <= unit_id (ids are
+        millisecond-ordered). Readers of historical snapshots see exactly what
+        a reader at commit time saw, because units are immutable and the
+        manifest list is append-only."""
+        units = sorted(m["unit"] for m in self.manifests())
+        if unit_id not in units:
+            raise ValueError(f"unknown commit unit {unit_id!r}; have {units}")
+        keep = [u for u in units if u <= unit_id]
+        paths = [os.path.join(self.data_dir, f"unit={u}") for u in keep]
+        df = spark.read.option("basePath", self.data_dir).parquet(*paths)
+        return df.drop("unit")
+
     # -- staging (phase A of a run: facts persisted before global canon) -------
     def stage(self, facts: DataFrame, key: str, buckets: list[int]) -> None:
         tmp = os.path.join(self.root, f"_stage-tmp-{key}")

@@ -85,3 +85,21 @@ def test_lineage_content_sha_present(spark, small_pages, tmp_path):
     df = store.read(spark)
     assert df.filter(F.col("content_sha").isNull()).count() == 0
     assert df.filter(F.length("content_sha") != 64).count() == 0
+
+
+def test_read_as_of_time_travel(spark, small_pages, tmp_path):
+    """Snapshot time-travel: reading as of unit k returns exactly the rows a
+    reader saw right after the k-th commit; as-of the last unit == read()."""
+    store = TripleStore(str(tmp_path / "tt"), n_buckets=4)
+    units = pipeline.run_checkpointed(spark, small_pages, store, groups=2)
+    assert len(units) == 2
+    first, last = sorted(units)
+    full = _triple_set(store.read(spark))
+    asof_last = _triple_set(store.read_as_of(spark, last))
+    assert asof_last == full
+    asof_first = _triple_set(store.read_as_of(spark, first))
+    assert asof_first < full  # strictly fewer rows: the second unit is absent
+    n_first = store.read_as_of(spark, first).count()
+    assert 0 < n_first < store.read(spark).count()
+    with pytest.raises(ValueError, match="unknown commit unit"):
+        store.read_as_of(spark, "nope")
