@@ -7,7 +7,6 @@ import os
 
 import pyarrow as pa
 import pyarrow.parquet as pq
-import pytest
 
 from kgx import fixtures, streaming
 from kgx.checkpoint import TripleStore

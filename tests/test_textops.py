@@ -3,7 +3,6 @@ by the SQL oracles (t07 minhash clusters, t08 simhash, s03 ANN recall)."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from kgx.ops import simsearch, textops
