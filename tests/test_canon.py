@@ -108,9 +108,11 @@ def test_cc_isolated_nodes_skip_the_graph(spark):
     assert len(labels) == 4
 
 
-def test_dedup_clusters_exact_and_near(spark):
+@pytest.mark.parametrize("shingle_k", [3, 5])
+def test_dedup_clusters_exact_and_near(spark, shingle_k):
     """Exact dups merge via the sha-prepass; near-dups via LSH+Jaccard; text
-    never needs to be a join key (ids only in the output)."""
+    never needs to be a join key (ids only in the output). shingle_k=5 is the
+    boilerplate-resistant web setting (see dedup_clusters docstring)."""
     base = "the quick brown fox jumps over the lazy dog again and again today"
     rows = [
         (1, base),
@@ -121,7 +123,7 @@ def test_dedup_clusters_exact_and_near(spark):
         (6, "!!!"),  # normalizes to empty -> clusters with 5
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    comp = canon.dedup_clusters(docs, bucket_cap=100)
+    comp = canon.dedup_clusters(docs, shingle_k=shingle_k, bucket_cap=100)
     labels = {int(r.doc_id): r.component for r in comp.collect()}
     assert len(labels) == 6
     assert labels[1] == labels[2] == labels[3]
