@@ -59,12 +59,14 @@ def shingle_col(norm_col, k: int = 3):
 def token_shingle_col(norm_col, k: int = 3):
     """Token k-gram shingles (word-level) — the right granularity for document
     near-dup (char grams saturate on small vocabularies); falls back to the
-    whole string when shorter than k tokens."""
+    whole string when shorter than k tokens. Generic in k (slice, not
+    positional indexing) so it stays the mirror of _py_grams_of_norm for the
+    shingle_k=5 web preset too."""
     toks = F.split(norm_col, " ")
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )
     return F.when(n < k, F.array(norm_col)).otherwise(
         F.array_sort(F.array_distinct(grams))
@@ -187,16 +189,23 @@ def surfaces_with_shingles(mentions: DataFrame, shingle: str = "char") -> DataFr
 _KEYED_SCHEMA = "surface string, h string, sh_hash array<long>, sig array<long>"
 
 
+_TOK_MEMO_MAX = 1_000_000  # ~100 MB ceiling; web vocabularies are open-ended
+
+
 def _tok_hash(tok: str, memo: dict):
     """Stable 64-bit token id (crc32 pair), memoized per worker batch-iterator
     — real corpora repeat tokens heavily, so the hash cost collapses to the
-    per-batch vocabulary size."""
+    working vocabulary. The memo is CAPPED: an open web vocabulary (urls, ids,
+    typos) would otherwise grow the dict unboundedly for the partition's
+    lifetime and OOM the Python worker."""
     import zlib
 
     v = memo.get(tok)
     if v is None:
         b = tok.encode()
         v = (zlib.crc32(b) << 32) | zlib.crc32(b + b"#")
+        if len(memo) >= _TOK_MEMO_MAX:
+            memo.clear()
         memo[tok] = v
     return v
 
@@ -273,10 +282,12 @@ def _keyed_sig_gen(shingle: str, k: int = 3):
                     norm = kernel.normalize_surface(text)
                     if shingle == "token":
                         hh = _token_gram_hashes(norm, k, memo)
+                        sig_flat[i] = _splitmix64(
+                            hh[None, :] ^ seeds[:, None]
+                        ).min(axis=1)
                     else:
                         grams = _py_grams_of_norm(norm, shingle, k) or [norm]
-                        hh, _ = _hash_and_sig(grams, seeds)
-                    sig_flat[i] = _splitmix64(hh[None, :] ^ seeds[:, None]).min(axis=1)
+                        hh, sig_flat[i] = _hash_and_sig(grams, seeds)
                     hh_list.append(hh)
                     lens[i] = len(hh)
                     hs.append(hashlib.sha256(text.encode()).hexdigest())
@@ -366,8 +377,9 @@ def dedup_clusters(
     members = surf.select("surface", "h").join(erep, "h").select("surface", "erep")
     # representatives keep their wide signature rows via a semi join — the only
     # corpus-width shuffle; checkpointed because candidate_pairs reads reps
-    # twice (band explode + shingle-set join-back). Wide copies total
-    # surf + reps (reps <= distinct texts), never two full-corpus copies.
+    # three times (band explode, sig-gate join, shingle-set join-back). Wide
+    # copies total surf + reps (reps <= distinct texts), never two full-corpus
+    # copies.
     reps = (
         surf.join(
             erep.select("h", F.col("erep").alias("surface")),
@@ -489,18 +501,15 @@ DRIVER_CC_MAX_BYTES = 256 * 1024 * 1024  # byte threshold for the same collect
 DRIVER_CANON_MAX_SURFACES = 1000  # collect threshold for whole-mapping fast path
 
 
-def _py_shingles(surface: str, shingle: str) -> frozenset[str]:
+def _py_shingles(surface: str, shingle: str, k: int = 3) -> frozenset[str]:
     from kgx import kernel
 
     norm = kernel.normalize_surface(surface)
     if shingle == "char":
         return frozenset(kernel.shingles(surface))
-    toks = norm.split()
-    if not toks:
+    if not norm.split():
         return frozenset()
-    if len(toks) < 3:
-        return frozenset([norm])
-    return frozenset(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2))
+    return frozenset(_py_grams_of_norm(norm, "token", k))
 
 
 def _driver_canonical_mapping(spark, nodes, known, shingle, threshold):

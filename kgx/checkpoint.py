@@ -81,6 +81,10 @@ class TripleStore:
         os.rename(tmp_dir, final_dir)  # atomic on one FS; Iceberg commit stand-in
         manifest = {
             "unit": unit_id,
+            # monotonic commit sequence: millisecond ids can tie (uuid breaks
+            # the tie randomly) and clocks can step — snapshot ordering for
+            # read_as_of must be COMMIT order, not id order
+            "seq": len(self.manifests()),
             "buckets": sorted(buckets),
             "metrics": metrics,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -92,29 +96,34 @@ class TripleStore:
         return unit_id
 
     # -- read ----------------------------------------------------------------
-    def read(self, spark: SparkSession) -> DataFrame:
-        units = [m["unit"] for m in self.manifests()]
-        paths = [os.path.join(self.data_dir, f"unit={u}") for u in units]
-        if not paths:
+    def _read_units(self, spark: SparkSession, units: list[str]) -> DataFrame:
+        if not units:
             from kgx.schema import TRIPLES
 
             return spark.createDataFrame([], TRIPLES)
-        df = spark.read.option("basePath", self.data_dir).parquet(*paths)
-        return df.drop("unit")
+        paths = [os.path.join(self.data_dir, f"unit={u}") for u in units]
+        return spark.read.option("basePath", self.data_dir).parquet(*paths).drop("unit")
+
+    def _commit_order(self) -> list[str]:
+        """Units in COMMIT order: by the monotonic manifest seq (id order can
+        tie within a millisecond and clocks can step; seq cannot)."""
+        ms = self.manifests()
+        return [m["unit"] for m in sorted(ms, key=lambda m: (m.get("seq", 0), m["unit"]))]
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self._read_units(spark, [m["unit"] for m in self.manifests()])
 
     def read_as_of(self, spark: SparkSession, unit_id: str) -> DataFrame:
         """Snapshot time-travel (Iceberg `VERSION AS OF` stand-in): the table
-        as of a given commit unit — every unit with id <= unit_id (ids are
-        millisecond-ordered). Readers of historical snapshots see exactly what
-        a reader at commit time saw, because units are immutable and the
-        manifest list is append-only."""
-        units = sorted(m["unit"] for m in self.manifests())
-        if unit_id not in units:
-            raise ValueError(f"unknown commit unit {unit_id!r}; have {units}")
-        keep = [u for u in units if u <= unit_id]
-        paths = [os.path.join(self.data_dir, f"unit={u}") for u in keep]
-        df = spark.read.option("basePath", self.data_dir).parquet(*paths)
-        return df.drop("unit")
+        as of a given commit unit — that unit and every unit committed before
+        it. Readers of historical snapshots see exactly what a reader at
+        commit time saw, because units are immutable and the manifest list is
+        append-only."""
+        ordered = self._commit_order()
+        if unit_id not in ordered:
+            raise ValueError(f"unknown commit unit {unit_id!r}; have {sorted(ordered)}")
+        keep = ordered[: ordered.index(unit_id) + 1]
+        return self._read_units(spark, keep)
 
     # -- staging (phase A of a run: facts persisted before global canon) -------
     def stage(self, facts: DataFrame, key: str, buckets: list[int]) -> None:

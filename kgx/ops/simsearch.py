@@ -314,24 +314,28 @@ def s04_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     seeds = cq.orderBy("cand_id").limit(K_CELLS).select("vq").collect()
     cents = [(i, [int(x) for x in r["vq"]]) for i, r in enumerate(seeds)]
 
-    def assign(cent_rows):
+    def assign(cent_rows, cols=("cand_id", "cv", "vq", "cidx")):
+        """Nearest-centroid assignment; training iterations pass a narrow
+        ``cols`` so the unused 64-double cv never rides the window exchange."""
         cent_df = spark.createDataFrame(cent_rows, "cidx int, cent array<long>")
         w = Window.partitionBy("cand_id")
+        needed = set(cols) | {"cand_id", "vq"}
+        base = cq.select(*[c for c in ("cand_id", "cv", "vq") if c in needed])
         return (
-            cq.crossJoin(F.broadcast(cent_df))
+            base.crossJoin(F.broadcast(cent_df))
             .withColumn("d", _sqdist("vq", "cent"))
             .withColumn("best", F.min(F.struct("d", "cidx")).over(w))
             .filter(
                 (F.col("d") == F.col("best.d"))
                 & (F.col("cidx") == F.col("best.cidx"))
             )
-            .select("cand_id", "cv", "vq", "cidx")
+            .select(*cols)
         )
 
     dim = len(cents[0][1])
     for _ in range(IVF_ITERS):
         sums = (
-            assign(cents)
+            assign(cents, cols=("cand_id", "vq", "cidx"))
             .groupBy("cidx")
             .agg(
                 F.count(F.lit(1)).alias("n"),
@@ -380,7 +384,7 @@ def _sql_sqdist(a: str, b: str, dim: int) -> str:
 
 def _sql_assign(cent_cte: str, tag: str) -> str:
     """One Lloyd assignment + centroid update, mirrored from the Spark loop."""
-    d = _sqdist_sql = _sql_sqdist("c.vq", "ct.cent", _DIM)
+    d = _sql_sqdist("c.vq", "ct.cent", _DIM)
     return f"""
 a{tag} AS (
   SELECT cand_id, vq, cidx FROM (

@@ -101,8 +101,11 @@ def first_seen_by_content(stream: DataFrame) -> DataFrame:
         n = 0
         first_url = None
         for pdf in pdfs:
-            if first_url is None and len(pdf):
-                first_url = pdf["url"].iloc[0]
+            if len(pdf):
+                # min(url), not iloc[0]: row order within a micro-batch depends
+                # on partitioning, and the emitted row must be deterministic
+                m = pdf["url"].min()
+                first_url = m if first_url is None else min(first_url, m)
             n += len(pdf)
         state.update((prev + n,))
         if prev == 0 and n > 0:
