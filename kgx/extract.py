@@ -117,10 +117,22 @@ def extract_facts_fused(pages: DataFrame) -> DataFrame:
     scheduler stages on per-document work; fused, the whole per-page chain is
     embarrassingly parallel and the only shuffles left are the genuinely
     cross-document ones (methodology semi-join re-collect, canonicalization,
-    the partitioned write)."""
-    return pages.select("url", "warc_ts", "html").mapInArrow(
-        _fused_arrow_batches, schema=FACTS
-    )
+    the partitioned write).
+
+    Partition guard: parquet scans can only split at row-group boundaries, so
+    an input written with giant row groups (or one fat file) arrives as fewer
+    partitions than cores and would run this CPU-bound pass nearly serially —
+    exactly what a 4000-page single-row-group bench corpus did (4.9s -> 6.8s
+    end-to-end). When the scan yields less than half the session parallelism,
+    one round-robin shuffle of the (url, warc_ts, html) projection buys full
+    parallelism for the dominant stage. At 100 TB inputs have ~10^5 splits and
+    the guard never fires; when it does fire the input layout was the
+    bottleneck, not the shuffle."""
+    slim = pages.select("url", "warc_ts", "html")
+    cores = pages.sparkSession.sparkContext.defaultParallelism
+    if slim.rdd.getNumPartitions() < max(2, cores // 2):
+        slim = slim.repartition(cores * 2)
+    return slim.mapInArrow(_fused_arrow_batches, schema=FACTS)
 
 
 def methodology_dim(spark: SparkSession) -> DataFrame:

@@ -25,9 +25,10 @@ from kgx.config import (
 )
 
 SEED = 42
-# bump when gen_pages output changes — cached bench corpora under /tmp are
-# keyed by (n, FIXTURE_VERSION) so stale generations can't leak into numbers
-FIXTURE_VERSION = 2
+# bump when gen_pages output OR the parquet layout changes — cached bench
+# corpora under /tmp are keyed by (n, FIXTURE_VERSION) so stale generations
+# (v2's single-row-group small corpora) can't leak into numbers
+FIXTURE_VERSION = 3
 
 # --------------------------------------------------------------------------- #
 # entity pools (FIXTURES.md §2)
@@ -409,6 +410,13 @@ def _pages_table(pages: list[dict]):
     )
 
 
+def row_group_size(n: int) -> int:
+    """Parquet row-group rows for an n-page corpus: >=16 scan splits for small
+    corpora, capped at 4096 (metadata overhead dominates below ~256 rows/group
+    on multi-KB rows at the 1M scale)."""
+    return min(4096, max(64, -(-n // 16)))
+
+
 def write_fixture(
     out_dir: str, n: int = 200, seed: int = SEED, golden: bool = True
 ) -> None:
@@ -420,10 +428,14 @@ def write_fixture(
 
     os.makedirs(out_dir, exist_ok=True)
     pages = gen_pages(n, seed)
-    # small row groups: Spark's scan-time splitting (maxPartitionBytes) can only
-    # parallelize across row-group boundaries — one giant group = one task
+    # Spark's scan-time splitting (maxPartitionBytes) can only parallelize
+    # across row-group boundaries — one giant group = one task. 4096 is right
+    # for ~6KB rows at 1M pages (256 made that scan metadata-bound), but a
+    # fixed 4096 left the 4000-page bench corpus as a SINGLE group and
+    # serialized the whole extract stage (the r2 kg_pipeline "regression").
+    # Scale the group size to the corpus so small corpora still split >=16 ways.
     pq.write_table(
-        _pages_table(pages), f"{out_dir}/pages.parquet", row_group_size=4096
+        _pages_table(pages), f"{out_dir}/pages.parquet", row_group_size=row_group_size(n)
     )
     if not golden:
         return
@@ -457,7 +469,7 @@ def write_pages_chunked(
             t = _pages_table(rng_pages[i : i + chunk])
             if writer is None:
                 writer = pq.ParquetWriter(f"{out_dir}/pages.parquet", t.schema)
-            writer.write_table(t, row_group_size=4096)
+            writer.write_table(t, row_group_size=row_group_size(n))
     finally:
         if writer is not None:
             writer.close()

@@ -200,3 +200,42 @@ def test_subj_col_matches_kernel(spark):
     got = {r.url: r.s for r in df.select("url", pipeline.subj_col(F.col("url")).alias("s")).collect()}
     for u in urls:
         assert got[u] == kernel.page_id_from_url(u)
+
+
+def test_fixture_row_groups_split_for_scan(tmp_path):
+    """Small corpora must still produce >=16 parquet row groups — a single
+    giant row group is unsplittable for Spark's scan and serialized the whole
+    fused extract stage (the r2 kg_pipeline bench regression)."""
+    import pyarrow.parquet as pq
+
+    assert fixtures.row_group_size(1_000_000) == 4096
+    assert fixtures.row_group_size(4000) == 250
+    assert fixtures.row_group_size(10) == 64
+    d = tmp_path / "rg"
+    fixtures.write_fixture(str(d), n=400, golden=False)
+    # 400 rows at the 64-row floor -> ceil(400/64) = 7 scan splits (>=16 holds
+    # from n=1024 up, where the n/16 sizing takes over)
+    assert pq.ParquetFile(str(d / "pages.parquet")).metadata.num_row_groups == 7
+
+
+def test_fused_extract_guards_unsplittable_input(spark, tmp_path):
+    """An input that arrives as fewer partitions than cores (giant row groups,
+    one fat file) must be repartitioned before the CPU-bound Arrow pass."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = fixtures.gen_pages(64)
+    t = pa.table(
+        {
+            "url": [p["url"] for p in rows],
+            "warc_ts": pa.array([p["warc_ts"] for p in rows], pa.timestamp("us")),
+            "html": pa.array([p["html"] for p in rows], pa.binary()),
+        }
+    )
+    path = str(tmp_path / "one_group.parquet")
+    pq.write_table(t, path, row_group_size=10_000)  # single row group
+    pages = spark.read.parquet(path)
+    assert pages.rdd.getNumPartitions() == 1
+    cores = spark.sparkContext.defaultParallelism
+    out = extract.extract_facts_fused(pages)
+    assert out.rdd.getNumPartitions() >= max(2, cores // 2)
