@@ -296,17 +296,47 @@ def _sqdist(a, b):
     )
 
 
+def nearest_cidx_udf(cents: list[tuple[int, list[int]]]):
+    """Nearest-centroid assignment as a numpy pandas UDF: argmin over exact
+    int64 squared distances with the (distance, cidx) tie-break (argmin takes
+    the first minimum; centroid rows are ordered by cidx).
+
+    This replaces the corpus x K crossJoin + interpreted-HOF `_sqdist` + a
+    Window over every candidate that the training loop used before round 3 —
+    the exact anti-pattern SURVEY.md §8.3 measured at ~50x slower than numpy,
+    plus a full corpus-sized exchange per Lloyd iteration. Here assignment is
+    a map-only pass: the K x dim int64 centroid matrix (a few KB) ships in
+    the UDF closure; per batch the distance matrix is computed via the
+    ||v||^2 - 2 v.C^T + ||c||^2 expansion — O(n*K) memory, no (n,K,dim)
+    tensor, and every term stays exact in int64 (values <= 2^48 at the 1e6
+    quantization and dim 64)."""
+    import numpy as np
+
+    C = np.array([v for _, v in sorted(cents)], dtype=np.int64)  # (K, dim)
+    c_sq = (C * C).sum(axis=1)  # (K,)
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest(vq: pd.Series) -> pd.Series:
+        if not len(vq):
+            return pd.Series([], dtype="int32")
+        V = np.stack(vq.to_numpy()).astype(np.int64)  # (n, dim)
+        d = (V * V).sum(axis=1)[:, None] - 2 * (V @ C.T) + c_sq[None, :]
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return nearest
+
+
 def s04_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-style ANN: K_CELLS-cell coarse quantizer trained with IVF_ITERS
     deterministic Lloyd iterations (seeds = the K smallest cand_ids), queries
     probe the N_PROBE nearest cells, exact cosine re-ranks the probed members.
 
     Scale shape: centroids are always O(K) — collected/broadcast per iteration
-    (the standard k-means dataflow); assignments and cell membership stay
-    distributed. The interpreted-HOF distance is fine at K*corpus this size;
-    the corpus-scale variant scores assignments in a numpy pandas UDF exactly
-    like _rh_bands_udf. Integer quantization (see above) makes the oracle
-    (S04_SQL) value-exact, tie-breaks included ((distance, cidx) ordering).
+    (the standard k-means dataflow); assignment is a map-only numpy pandas UDF
+    (nearest_cidx_udf — no corpus exchange per iteration); the only shuffle in
+    training is the K x dim partial-aggregated centroid-sum groupBy. Integer
+    quantization (see above) makes the oracle (S04_SQL) value-exact,
+    tie-breaks included ((distance, cidx) ordering).
     """
     q, c = _split(spark, sf)
     cq = c.select("cand_id", "cv", _quant_shifted("cv").alias("vq")).localCheckpoint()
@@ -314,28 +344,10 @@ def s04_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     seeds = cq.orderBy("cand_id").limit(K_CELLS).select("vq").collect()
     cents = [(i, [int(x) for x in r["vq"]]) for i, r in enumerate(seeds)]
 
-    def assign(cent_rows, cols=("cand_id", "cv", "vq", "cidx")):
-        """Nearest-centroid assignment; training iterations pass a narrow
-        ``cols`` so the unused 64-double cv never rides the window exchange."""
-        cent_df = spark.createDataFrame(cent_rows, "cidx int, cent array<long>")
-        w = Window.partitionBy("cand_id")
-        needed = set(cols) | {"cand_id", "vq"}
-        base = cq.select(*[c for c in ("cand_id", "cv", "vq") if c in needed])
-        return (
-            base.crossJoin(F.broadcast(cent_df))
-            .withColumn("d", _sqdist("vq", "cent"))
-            .withColumn("best", F.min(F.struct("d", "cidx")).over(w))
-            .filter(
-                (F.col("d") == F.col("best.d"))
-                & (F.col("cidx") == F.col("best.cidx"))
-            )
-            .select(*cols)
-        )
-
     dim = len(cents[0][1])
     for _ in range(IVF_ITERS):
         sums = (
-            assign(cents, cols=("cand_id", "vq", "cidx"))
+            cq.select("vq", nearest_cidx_udf(cents)("vq").alias("cidx"))
             .groupBy("cidx")
             .agg(
                 F.count(F.lit(1)).alias("n"),
@@ -352,7 +364,10 @@ def s04_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
         }
         cents = [(i, new.get(i, v)) for i, v in cents]  # empty cell keeps its centroid
 
-    cells = assign(cents).select("cand_id", "cv", "cidx").localCheckpoint()
+    cells = (
+        cq.select("cand_id", "cv", nearest_cidx_udf(cents)("vq").alias("cidx"))
+        .localCheckpoint()
+    )
 
     cent_df = spark.createDataFrame(cents, "cidx int, cent array<long>")
     qq = q.select("query_id", "qv", _quant_shifted("qv").alias("vq"))

@@ -54,3 +54,37 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     import collections
     per_q = collections.Counter(q for q, _ in a)
     assert all(v == 3 for v in per_q.values())
+
+
+def test_ivf_nearest_udf_matches_hof_assignment(spark):
+    """The round-3 numpy assignment (nearest_cidx_udf) must agree exactly —
+    tie-breaks included — with the crossJoin + interpreted-HOF + window shape
+    it replaced (kept here as the reference implementation)."""
+    from pyspark.sql import Window
+
+    from kgx.ops.simsearch import _sqdist, nearest_cidx_udf
+
+    # deterministic integer vectors incl. exact ties (rows 0/1 equidistant)
+    rows = [(i, [((i * 7 + j * 13) % 29) for j in range(8)]) for i in range(200)]
+    rows[1] = (1, rows[0][1])
+    df = spark.createDataFrame(rows, "cand_id int, vq array<long>")
+    cents = [(k, [((k * 11 + j * 3) % 29) for j in range(8)]) for k in range(4)]
+    cents[2] = (2, cents[0][1])  # duplicate centroid: forces the cidx tie-break
+
+    cent_df = spark.createDataFrame(cents, "cidx int, cent array<long>")
+    w = Window.partitionBy("cand_id")
+    hof = {
+        (r.cand_id, r.cidx)
+        for r in (
+            df.crossJoin(F.broadcast(cent_df))
+            .withColumn("d", _sqdist("vq", "cent"))
+            .withColumn("best", F.min(F.struct("d", "cidx")).over(w))
+            .filter((F.col("d") == F.col("best.d")) & (F.col("cidx") == F.col("best.cidx")))
+            .collect()
+        )
+    }
+    udf = {
+        (r.cand_id, r.cidx)
+        for r in df.select("cand_id", nearest_cidx_udf(cents)("vq").alias("cidx")).collect()
+    }
+    assert udf == hof
