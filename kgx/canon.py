@@ -36,6 +36,55 @@ N_BANDS = 32  # r = 2 rows per band
 JACCARD_THRESHOLD = 0.4
 
 
+def banding_recall(j: float, n_bands: int, rows_per_band: int) -> float:
+    """P(a pair at Jaccard ``j`` collides in at least one band):
+    1 - (1 - j^r)^b — the closed-form LSH blocking recall."""
+    return 1.0 - (1.0 - j**rows_per_band) ** n_bands
+
+
+def banding_for(
+    target_j: float, miss_rate: float, max_hashes: int = 256
+) -> tuple[int, int]:
+    """Pick (n_bands, rows_per_band) so that a pair at Jaccard >= ``target_j``
+    misses LSH blocking with probability <= ``miss_rate``, using at most
+    ``max_hashes`` MinHash slots (n_bands * rows_per_band <= max_hashes).
+
+    Among feasible settings, rows_per_band is maximized: more rows per band is
+    the precision knob — it suppresses candidates from the below-threshold mass
+    (the r=2 candidate explosion on templated corpora, BENCH/BASELINE.md) while
+    the band count b >= log(miss)/log(1 - j^r) keeps recall at the target.
+    The returned miss bound holds for every j' >= target_j because recall is
+    monotone in j. Raises when no setting within max_hashes achieves the miss
+    rate (target_j too low for the hash budget — raise the budget or the
+    threshold).
+    """
+    import math
+
+    if not 0.0 < target_j < 1.0:
+        raise ValueError(f"target_j must be in (0,1), got {target_j}")
+    if not 0.0 < miss_rate < 1.0:
+        raise ValueError(f"miss_rate must be in (0,1), got {miss_rate}")
+    best: tuple[int, int] | None = None
+    for r in range(1, max_hashes + 1):
+        p_band = target_j**r
+        if p_band >= 1.0:  # float rounding edge: j ~ 1
+            b = 1
+        elif p_band == 0.0:  # underflow: no band count can ever collide
+            continue
+        else:
+            # log1p(-p), not log(1-p): 1-p rounds to 1.0 once p < ~1e-17 and
+            # log(1.0) == 0 divides by zero; log1p stays exact for tiny p
+            b = math.ceil(math.log(miss_rate) / math.log1p(-p_band))
+        if b >= 1 and b * r <= max_hashes:
+            best = (b, r)  # keep scanning: larger r that still fits wins
+    if best is None:
+        raise ValueError(
+            f"no (bands, rows) within {max_hashes} hashes reaches "
+            f"miss<={miss_rate} at J>={target_j}"
+        )
+    return best
+
+
 def normalize_col(col):
     """JVM-side mirror of kernel.normalize_surface (tested for parity)."""
     s = F.lower(col)
@@ -615,7 +664,10 @@ def connected_components(
         nodes.select("surface")
         .distinct()
         .join(comp.select("surface"), "surface", "left_anti")
-        .select("surface", F.col("surface").alias("component"))
+        # 's:' namespace (see _driver_cc): never collides with 'h:'+hash
+        # labels, and 's:'+isolated never equals 's:'+driver-label because
+        # isolated and touched surfaces are disjoint by the anti-join
+        .select("surface", F.concat(F.lit("s:"), F.col("surface")).alias("component"))
     )
     return comp.unionByName(isolated)
 
@@ -640,7 +692,11 @@ def _driver_cc(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             # union by min keeps labels deterministic regardless of edge order
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    rows = [(s, find(s)) for s in parent]
+    # 's:' namespace: label spaces of the three producers (driver surface-min,
+    # distributed 'h:'+hash, isolated 's:'+surface) are disjoint BY CONSTRUCTION
+    # — a raw surface that literally looks like another path's label (e.g.
+    # 'h:123') could otherwise merge unrelated groups
+    rows = [(s, "s:" + find(s)) for s in parent]
     spark = nodes.sparkSession
     return spark.createDataFrame(rows, "surface string, component string")
 

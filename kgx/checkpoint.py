@@ -46,13 +46,24 @@ class TripleStore:
             os.makedirs(d, exist_ok=True)
 
     # -- manifest ------------------------------------------------------------
-    def manifests(self) -> list[dict]:
+    def _all_manifests(self) -> list[dict]:
         out = []
         for name in sorted(os.listdir(self.manifest_dir)):
             if name.endswith(".json"):
                 with open(os.path.join(self.manifest_dir, name)) as f:
                     out.append(json.load(f))
         return out
+
+    def manifests(self) -> list[dict]:
+        """Live manifests: units superseded by a compaction (listed in another
+        manifest's ``replaces``) are invisible the instant the compacted
+        manifest lands — the atomic-swap that makes compact() crash-safe
+        (old units are garbage, not truth, from that point)."""
+        raw = self._all_manifests()
+        replaced: set[str] = set()
+        for m in raw:
+            replaced.update(m.get("replaces", []))
+        return [m for m in raw if m["unit"] not in replaced]
 
     def committed_buckets(self) -> set[int]:
         done: set[int] = set()
@@ -84,16 +95,38 @@ class TripleStore:
             # monotonic commit sequence: millisecond ids can tie (uuid breaks
             # the tie randomly) and clocks can step — snapshot ordering for
             # read_as_of must be COMMIT order, not id order
-            "seq": len(self.manifests()),
+            "seq": self._next_seq(),
             "buckets": sorted(buckets),
             "metrics": metrics,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
-        tmp_mf = os.path.join(self.manifest_dir, f"_tmp-{unit_id}.json")
+        self._write_manifest(manifest)
+        return unit_id
+
+    def _next_seq(self) -> int:
+        """max(existing seq) + 1 — NOT len(manifests): a retried commit or a
+        second writer racing len() would mint a duplicate seq and silently
+        misorder read_as_of; and compaction shrinks the list, which would make
+        len() reuse seqs."""
+        seqs = [m.get("seq", 0) for m in self._all_manifests()]
+        return (max(seqs) + 1) if seqs else 0
+
+    def _write_manifest(self, manifest: dict) -> None:
+        """Atomic + exclusive manifest publish: the file is named by seq, built
+        as a tmp file (readers never see partial JSON), then hard-linked into
+        place — link(2) fails with EEXIST if the seq was already claimed, so a
+        seq collision between two writers fails loudly instead of silently
+        misordering snapshots."""
+        name = f"{manifest['seq']:06d}-{manifest['unit']}.json"
+        # tmp name must NOT end in .json — manifest readers glob *.json and
+        # must never observe a half-written file
+        tmp_mf = os.path.join(self.manifest_dir, f"_tmp-{manifest['unit']}")
         with open(tmp_mf, "w") as f:
             json.dump(manifest, f, indent=1)
-        os.rename(tmp_mf, os.path.join(self.manifest_dir, f"{unit_id}.json"))
-        return unit_id
+        try:
+            os.link(tmp_mf, os.path.join(self.manifest_dir, name))
+        finally:
+            os.remove(tmp_mf)
 
     # -- read ----------------------------------------------------------------
     def _read_units(self, spark: SparkSession, units: list[str]) -> DataFrame:
@@ -121,9 +154,81 @@ class TripleStore:
         append-only."""
         ordered = self._commit_order()
         if unit_id not in ordered:
+            for m in self._all_manifests():
+                if unit_id in m.get("replaces", []):
+                    raise ValueError(
+                        f"commit unit {unit_id!r} was compacted into "
+                        f"{m['unit']!r}; its snapshot boundary no longer "
+                        f"exists — read as of {m['unit']!r} for the merged "
+                        f"boundary"
+                    )
             raise ValueError(f"unknown commit unit {unit_id!r}; have {sorted(ordered)}")
         keep = ordered[: ordered.index(unit_id) + 1]
         return self._read_units(spark, keep)
+
+    # -- maintenance -----------------------------------------------------------
+    def compact(self, spark: SparkSession, keep_last: int = 0) -> str | None:
+        """Rewrite committed units into ONE unit and supersede their manifests
+        (Iceberg ``rewrite_data_files`` + snapshot-expiry stand-in). Frequent
+        small commits otherwise grow the manifest list and the small-file count
+        without bound — at web scale the metadata read and the per-file open
+        cost come to dominate the scan.
+
+        ``keep_last`` recent units are left untouched (so hot snapshot
+        boundaries survive); everything older is merged. The merged unit takes
+        the HIGHEST replaced seq, so read_as_of on surviving later units is
+        unchanged; as-of reads on merged-away boundaries fail loudly (see
+        read_as_of). Crash-safe ordering: (1) write merged data, (2) publish
+        the merged manifest whose ``replaces`` list atomically supersedes the
+        old units, (3) garbage-collect old files — a crash after (2) leaves
+        only unreferenced garbage, never a wrong table."""
+        import shutil
+
+        ms = sorted(self.manifests(), key=lambda m: (m.get("seq", 0), m["unit"]))
+        victims = ms[: len(ms) - keep_last] if keep_last else ms
+        if len(victims) < 2:
+            return None
+        unit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        final_dir = os.path.join(self.data_dir, f"unit={unit_id}")
+        tmp_dir = os.path.join(self.root, f"_tmp-{unit_id}")
+        df = self._read_units(spark, [m["unit"] for m in victims])
+        (
+            df.repartition(
+                max(df.sparkSession.sparkContext.defaultParallelism, 4),
+                "pred",
+                F.pmod(F.xxhash64("subj"), F.lit(64)),
+            )
+            .write.mode("overwrite")
+            .partitionBy("pred")
+            .parquet(tmp_dir)
+        )
+        os.rename(tmp_dir, final_dir)
+
+        merged_metrics: dict[str, dict[str, int]] = {}
+        for m in victims:
+            for pred, v in m.get("metrics", {}).items():
+                agg = merged_metrics.setdefault(pred, {"rows": 0, "violations": 0})
+                agg["rows"] += v.get("rows", 0)
+                agg["violations"] += v.get("violations", 0)
+        manifest = {
+            "unit": unit_id,
+            "seq": max(m.get("seq", 0) for m in victims),
+            "buckets": sorted({b for m in victims for b in m["buckets"]}),
+            "metrics": merged_metrics,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "replaces": [m["unit"] for m in victims],
+        }
+        self._write_manifest(manifest)
+        # (3) GC: superseded manifests + data are unreferenced from here on
+        for name in os.listdir(self.manifest_dir):
+            if name.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, name)) as f:
+                    if json.load(f)["unit"] in manifest["replaces"]:
+                        os.remove(os.path.join(self.manifest_dir, name))
+        for m in victims:
+            shutil.rmtree(os.path.join(self.data_dir, f"unit={m['unit']}"),
+                          ignore_errors=True)
+        return unit_id
 
     # -- staging (phase A of a run: facts persisted before global canon) -------
     def stage(self, facts: DataFrame, key: str, buckets: list[int]) -> None:

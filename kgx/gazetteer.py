@@ -60,10 +60,15 @@ class AhoCorasick:
 
     def scan(self, text: str) -> list[tuple[int, str]]:
         """All (start_offset, term) occurrences in lower(text) whose ends are
-        word-boundary-delimited (regex \\b semantics)."""
+        word-boundary-delimited (regex \\b semantics), counted NON-overlapping
+        per term exactly like re.finditer: a self-overlapping term (e.g.
+        'a b a' in 'a b a b a') yields one match, not two — the T10 oracle
+        (regexp_extract_all) and the AC==regex property test count this way,
+        and without the suppression the two diverge on such terms."""
         low = text.lower()
         n = len(low)
         hits: list[tuple[int, str]] = []
+        last_end: dict[str, int] = {}
         s = 0
         for i, ch in enumerate(low):
             while s and ch not in self.goto[s]:
@@ -75,6 +80,9 @@ class AhoCorasick:
                     continue
                 if i + 1 < n and low[i + 1] in _WORD:
                     continue
+                if start < last_end.get(term, 0):
+                    continue  # overlaps this term's previous accepted match
+                last_end[term] = i + 1
                 hits.append((start, term))
         return hits
 

@@ -409,6 +409,58 @@ FROM p WHERE len(ps) > 0
 """
 
 
+
+# --- keyword -> page-number lists (PDFExtraction.py:281-309, page-granular) ----------- #
+PAGE_TOKENS = 8  # tokens per synthetic "page" of the flat documents table
+
+
+def t12_keyword_pages(spark: SparkSession, sf: str) -> DataFrame:
+    """The page-granular form of the reference's keyword search: keyword ->
+    sorted distinct page numbers per document (find_keyword_in_pdf returns
+    keyword -> page lists; the flat `documents` table has no physical pages,
+    so a page = a fixed window of PAGE_TOKENS tokens — the same bucketing a
+    paginated render applies). Same narrow explode shape as t11: only (doc_id,
+    pos) rows for actual hits reach the shuffle."""
+    d = load(spark, sf, "documents")
+    kw = spark.createDataFrame([(k,) for k in KEYWORDS], "keyword string")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", "\\s+")).alias("pos", "tok")
+    )
+    hits = toks.join(F.broadcast(kw), F.col("tok") == F.col("keyword")).select(
+        "keyword", "doc_id", (F.col("pos") / PAGE_TOKENS).cast("long").alias("page")
+    )
+    return hits.groupBy("keyword", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.size(F.array_distinct(F.collect_list("page"))).cast("long").alias("n_pages"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.array_distinct(F.collect_list("page"))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("pages"),
+    )
+
+
+T12_SQL = f"""
+WITH kw(keyword) AS (VALUES {_KW_LIT}),
+t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+p AS (
+  SELECT keyword, doc_id,
+         [(i - 1) // {PAGE_TOKENS} FOR i IN range(1, len(toks) + 1)
+          IF toks[i] = keyword] AS ps
+  FROM t CROSS JOIN kw
+),
+u AS (SELECT keyword, doc_id, ps, list_sort(list_distinct(ps)) AS pages
+      FROM p WHERE len(ps) > 0)
+SELECT keyword, doc_id,
+       CAST(len(ps) AS BIGINT) AS n_hits,
+       CAST(len(pages) AS BIGINT) AS n_pages,
+       array_to_string(list_transform(pages, x -> x::VARCHAR), ',') AS pages
+FROM u
+"""
+
+
 # --- gazetteer mention detection (Aho-Corasick batch UDF, SURVEY §2.7) ---------------- #
 # term -> kind; includes a multi-word term, where the one-pass automaton
 # genuinely differs from per-keyword regex scans (t09)
@@ -455,4 +507,5 @@ QUERIES = {
     "t09_keyword_hits": (t09_keyword_hits, T09_SQL),
     "t10_gazetteer_hits": (t10_gazetteer_hits, T10_SQL),
     "t11_keyword_positions": (t11_keyword_positions, T11_SQL),
+    "t12_keyword_pages": (t12_keyword_pages, T12_SQL),
 }

@@ -191,13 +191,22 @@ def _refine_group_fn(mode: str, threshold: float):
     re-join survivors in document order ('redundant') or keep the single best
     ('best1'). The greedy pass is inherently sequential, but a group is one
     section's chunks (tens of rows), so the pandas hop is O(section), never
-    O(corpus)."""
+    O(corpus).
+
+    Embeddings come from the kgx.embedder seam (captured in the closure at
+    plan-build time): the hash-embed fallback is byte-identical to the golden
+    extractor — the parity tests pin THAT path; with a real model installed
+    (or injected) the filter upgrades and the hash-embed golden no longer
+    applies, by design."""
+    from kgx import embedder
+
+    factory = embedder.current_factory()
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["score", "chunk_id"], ascending=[False, True])
         chunks = pdf["chunk"].tolist()
         ids = pdf["chunk_id"].tolist()
-        embeds = [kernel.hash_embed(c) for c in chunks]
+        embeds = embedder.embed_batch(chunks, factory=factory)
         kept = kernel.redundancy_filter(embeds, threshold)
         if mode == "best1":
             context = chunks[kept[0]].strip()

@@ -84,47 +84,108 @@ def windowed_page_counts(
     )
 
 
-def first_seen_by_content(stream: DataFrame) -> DataFrame:
+def first_seen_by_content(
+    stream: DataFrame,
+    ttl: str | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): emit each
-    distinct page content exactly once across ALL micro-batches, keyed by
-    sha2(html) — the streaming form of the reference's content-hash cache
-    (initial_pipeline/app.py:70-81). State per key = times seen; only the
-    first arrival emits. Built-in dropDuplicates needs a watermark to bound
-    state by time; this keeps the content-addressed forever-dedup semantics
-    the cache had, while demonstrating the custom-state seam
-    (SURVEY.md §2.10)."""
+    distinct page content once, keyed by sha2(html) — the streaming form of
+    the reference's content-hash cache (initial_pipeline/app.py:70-81).
+
+    Retention policy (state-size bound at web scale):
+    - ``ttl=None`` (default): exact dedup across ALL time — the semantics the
+      reference's cache had. State grows with the number of distinct contents
+      ever seen; a long-running stream at web scale needs the RocksDB state
+      store (`spark.sql.streaming.stateStore.providerClass`) so state spills
+      to disk instead of executor heap.
+    - ``ttl='30 days'`` (an interval string): exact dedup within an EVENT-TIME
+      horizon. A content hash re-arriving more than ttl after its last
+      sighting (by ``warc_ts``) is treated as fresh and re-emits; state is
+      physically evicted (EventTimeTimeout) once the watermark passes
+      last_seen + ttl, so state size is bounded by the horizon's distinct
+      contents, not all time. Event-time, not processing-time, on purpose:
+      the re-emit boundary is a property of the data, deterministic under
+      replay/backfill — and ProcessingTimeTimeout never lets an
+      AvailableNow query terminate (it schedules timeout-only batches
+      forever; observed empirically, 300+ empty micro-batches).
+      Late data older than ``watermark_delay`` may double-emit at the
+      horizon edge — the standard watermark trade-off.
+    """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    ttl_ms = None
+    if ttl is not None:
+        # parse '30 days' etc. via Catalyst's own interval grammar (day-time
+        # intervals only — the same class withWatermark accepts)
+        sess = stream.sparkSession
+        ttl_ms = int(
+            sess.range(1)
+            .select(
+                F.expr(
+                    f"unix_millis(timestamp'1970-01-01 00:00:00Z' + INTERVAL '{ttl}')"
+                ).alias("ms")
+            )
+            .first()["ms"]
+        )
+
     def fn(key, pdfs, state: GroupState):
-        prev = state.get[0] if state.exists else 0
+        empty = pd.DataFrame(
+            {"content_sha": pd.Series(dtype="object"),
+             "first_url": pd.Series(dtype="object"),
+             "n_seen": pd.Series(dtype="int64")}
+        )
+        if state.hasTimedOut:
+            state.remove()
+            yield empty
+            return
+        prev, last_ms = state.get if state.exists else (0, 0)
         n = 0
         first_url = None
+        max_ev = last_ms
         for pdf in pdfs:
             if len(pdf):
                 # min(url), not iloc[0]: row order within a micro-batch depends
                 # on partitioning, and the emitted row must be deterministic
                 m = pdf["url"].min()
                 first_url = m if first_url is None else min(first_url, m)
+                ev = int(pdf["warc_ts"].max().value // 1_000_000)  # ns -> ms
+                max_ev = max(max_ev, ev)
             n += len(pdf)
-        state.update((prev + n,))
+        if (
+            ttl_ms is not None
+            and state.exists
+            and n > 0
+            and max_ev - last_ms > ttl_ms
+        ):
+            prev = 0  # horizon passed since last sighting: fresh content
+        state.update((prev + n, max_ev))
+        if ttl_ms is not None:
+            # evict once the watermark passes last_seen + ttl; must stay above
+            # the current watermark or Spark rejects the timestamp
+            state.setTimeoutTimestamp(
+                max(max_ev + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
         if prev == 0 and n > 0:
             yield pd.DataFrame(
                 {"content_sha": [key[0]], "first_url": [first_url],
                  "n_seen": [n]}
             )
         else:
-            yield pd.DataFrame(
-                {"content_sha": pd.Series(dtype="object"),
-                 "first_url": pd.Series(dtype="object"),
-                 "n_seen": pd.Series(dtype="int64")}
-            )
+            yield empty
 
     keyed = stream.withColumn("content_sha", F.sha2(F.col("html"), 256))
+    if ttl is not None:
+        keyed = keyed.withWatermark("warc_ts", watermark_delay)
     return keyed.groupBy("content_sha").applyInPandasWithState(
         fn,
         outputStructType="content_sha string, first_url string, n_seen long",
-        stateStructType="n long",
+        stateStructType="n long, last_ms long",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl is None
+            else GroupStateTimeout.EventTimeTimeout
+        ),
     )

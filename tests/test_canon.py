@@ -90,10 +90,11 @@ def test_cc_byte_guard_forces_distributed_path(spark, monkeypatch):
     edges = spark.createDataFrame([("a", "b"), ("c", "d")], "a string, b string")
     comp = canon.connected_components(nodes, edges)
     labels = {r.surface: r.component for r in comp.collect()}
-    # distributed labels are 'h:'-prefixed; isolated nodes label themselves
+    # distributed labels are 'h:'-prefixed; isolated nodes are 's:'-namespaced
+    # (disjoint label spaces by construction)
     assert labels["a"] == labels["b"] and labels["a"].startswith("h:")
     assert labels["c"] == labels["d"] and labels["c"].startswith("h:")
-    assert labels["e"] == "e" and labels["f"] == "f"
+    assert labels["e"] == "s:e" and labels["f"] == "s:f"
 
 
 def test_cc_isolated_nodes_skip_the_graph(spark):
@@ -104,7 +105,7 @@ def test_cc_isolated_nodes_skip_the_graph(spark):
     labels = {r.surface: r.component
               for r in canon.connected_components(nodes, edges).collect()}
     assert labels["a"] == labels["b"]
-    assert labels["c"] == "c" and labels["z"] == "z"
+    assert labels["c"] == "s:c" and labels["z"] == "s:z"
     assert len(labels) == 4
 
 

@@ -103,3 +103,52 @@ def test_read_as_of_time_travel(spark, small_pages, tmp_path):
     assert 0 < n_first < store.read(spark).count()
     with pytest.raises(ValueError, match="unknown commit unit"):
         store.read_as_of(spark, "nope")
+
+
+def test_compact_preserves_reads_and_fails_old_boundaries(spark, small_pages, tmp_path):
+    """Maintenance compaction: read() is identical before/after, the manifest
+    list shrinks to one, resume bookkeeping (buckets) survives, as-of reads on
+    compacted-away boundaries fail loudly, and the next commit continues the
+    seq chain."""
+    store = TripleStore(str(tmp_path / "cp"), n_buckets=4)
+    units = pipeline.run_checkpointed(spark, small_pages, store, groups=4)
+    assert len(units) >= 2
+    before = _triple_set(store.read(spark))
+    buckets_before = store.committed_buckets()
+    seq_before = max(m["seq"] for m in store.manifests())
+
+    merged = store.compact(spark)
+    assert merged is not None
+    ms = store.manifests()
+    assert [m["unit"] for m in ms] == [merged]
+    assert _triple_set(store.read(spark)) == before
+    assert store.committed_buckets() == buckets_before
+    # merged unit inherits the highest replaced seq; as-of it == full table
+    assert ms[0]["seq"] == seq_before
+    assert _triple_set(store.read_as_of(spark, merged)) == before
+    # old snapshot boundaries are gone — loudly
+    with pytest.raises(ValueError, match="compacted into"):
+        store.read_as_of(spark, units[0])
+    # old data dirs GC'd
+    import os
+
+    dirs = os.listdir(os.path.join(store.root, "data"))
+    assert dirs == [f"unit={merged}"]
+    # idempotent-ish: nothing left to merge
+    assert store.compact(spark) is None
+
+
+def test_commit_seq_monotonic_not_len(spark, small_pages, tmp_path):
+    """seq must continue past a compaction (max+1, not len(manifests)) so
+    snapshot ordering never reuses a sequence number."""
+    store = TripleStore(str(tmp_path / "seq"), n_buckets=4)
+    pipeline.run_checkpointed(spark, small_pages, store, groups=4)
+    seq_before = max(m["seq"] for m in store.manifests())
+    assert seq_before >= 1
+    store.compact(spark)
+    # a fresh commit after compaction: seq continues, never collides
+    tri = pipeline.build_triples(spark, small_pages.limit(5))
+    store.commit(tri, buckets=[], metrics={})
+    seqs = [m["seq"] for m in store.manifests()]
+    assert len(seqs) == len(set(seqs))
+    assert max(seqs) == seq_before + 1

@@ -134,3 +134,58 @@ def test_first_seen_by_content_dedups_across_batches(spark, tmp_path):
     assert len(out2) == 4  # duplicates suppressed by keyed state
     urls = {r[1] for r in out1 + out2}
     assert urls == {p["url"] for p in pages}
+
+
+def test_first_seen_ttl_evicts_and_reemits(spark, tmp_path):
+    """Bounded-retention dedup (event-time TTL): within the horizon a
+    duplicate content hash is suppressed; re-arriving past the horizon it is
+    treated as fresh and re-emits. Event-time makes the boundary a property
+    of the data — no sleeps, deterministic under replay."""
+    from datetime import datetime, timedelta
+
+    pages = fixtures.gen_pages(6)
+    T0 = datetime(2026, 1, 1, 12, 0, 0)
+
+    def at(rows, minutes):
+        return [{**p, "warc_ts": T0 + timedelta(minutes=minutes)} for p in rows]
+
+    pages_dir = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt_ttl")
+
+    def run_wave():
+        rows = []
+
+        def sink(batch_df, epoch_id):
+            rows.extend(tuple(r) for r in batch_df.collect())
+
+        q = (
+            streaming.first_seen_by_content(
+                streaming.pages_stream(spark, pages_dir),
+                ttl="1 hour",
+                watermark_delay="0 seconds",
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return rows
+
+    _write_pages(at(pages[:4], 0), f"{pages_dir}/part-0.parquet")
+    out1 = run_wave()
+    assert len(out1) == 4
+
+    # +30 min (inside the 1h horizon): dups suppressed, new content emits
+    _write_pages(at(pages[4:] + pages[:2], 30), f"{pages_dir}/part-1.parquet")
+    out2 = run_wave()
+    assert len(out2) == 2
+    assert {r[0] for r in out2}.isdisjoint({r[0] for r in out1})
+
+    # +70 min: pages[2:4] last seen at T0 -> 70 min > 1h horizon -> re-emit;
+    # pages[0] last seen at +30 -> only 40 min ago -> still suppressed
+    _write_pages(at(pages[2:4] + pages[:1], 70), f"{pages_dir}/part-2.parquet")
+    out3 = run_wave()
+    assert len(out3) == 2
+    assert {r[0] for r in out3} <= {r[0] for r in out1}
