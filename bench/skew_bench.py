@@ -25,7 +25,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-HOT_FRACTION = 0.3
+HOT_FRACTION = float(os.environ.get("KGX_HOT_FRACTION", "0.3"))
 N_DOMAINS = 50_000
 
 
@@ -84,6 +84,11 @@ def main() -> None:
         "join_salted", lambda: salted_join(fact, dim, "domain", salt=cpus * 2).count()
     )
     assert n1 == n2, (n1, n2)
+    # what AQE's runtime skew-split is buying: same unsalted join with it off
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    n3 = timed("join_unsalted_no_aqe_skew", lambda: fact.join(dim, "domain").count())
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    assert n1 == n3, (n1, n3)
 
     c1 = timed(
         "collect_unsalted",

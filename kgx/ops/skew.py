@@ -18,6 +18,21 @@ aggregation doesn't shrink the payload).
 The triple write (kgx.checkpoint.TripleStore.commit) applies the same idea:
 repartition by (pred, pmod(xxhash64(subj), 64)) so a hot predicate doesn't
 serialize into one writer task.
+
+MEASURED GUIDANCE (bench/skew_bench.py, round 3 — 8M rows, one domain holding
+30-90% of them, local[8], broadcast disabled): on this Spark version the
+static salts LOST to the plain operators at every point tried —
+join 6.7s unsalted vs 7.8s salted (0.3 hot), 5.2 vs 7.0 (0.9 hot);
+collect 9.0s vs 47.5s (0.3), 31.0s vs 64.3s (0.9). Two structural reasons:
+(1) collect_list already does map-side PARTIAL aggregation, so the reduce
+side merges per-map-task lists — exactly what salting builds, minus an extra
+full shuffle of the payload; and salting cannot shrink the final single-task
+merge of a hot key's list anyway. (2) AQE's runtime skew-split handles the
+sort-merge-join case without replicating the dim side (and at these sizes
+even the UNSPLIT join beat both: 4.1s with skewJoin off). Use these helpers
+when AQE is unavailable (non-adaptive engines, RDD-era pipelines) or when a
+hot key's single-task JOIN build provably dominates the stage; for
+aggregations, restructure to algebraic aggs instead of salting.
 """
 
 from __future__ import annotations

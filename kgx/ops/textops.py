@@ -200,6 +200,15 @@ def t07_minhash_clusters(spark: SparkSession, sf: str) -> DataFrame:
     closure — which is feasible at oracle scale and checks the LSH path
     end-to-end (blocking recall included: signatures are deterministic, so
     parity at a given sf is stable, verified at sf0.001/sf0.01).
+
+    Scope of the parity claim: LSH blocking is probabilistic, so exact oracle
+    agreement is a per-corpus fact, not a theorem — at r=2/b=32 a borderline
+    J~0.4 pair misses blocking with ~0.4% probability (banding_recall(0.4, 32,
+    2) ~ 0.996), and the 512B sig gate adds a small deterministic tail. On a
+    NEW corpus/sf, a legitimate blocking miss would surface as a hash
+    mismatch here even though the operator is behaving exactly as designed;
+    the claim is pinned to the sfs above, and cluster-recall-floor assertions
+    (tests/test_textops.py) are the corpus-independent check.
     """
     from kgx import canon
 
