@@ -113,3 +113,52 @@ def test_approx_distinct_within_5pct(spark):
     assert approx.keys() == exact.keys()
     for k in exact:
         assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, approx[k], exact[k])
+
+
+def test_ivf_training_assignment_plan_is_map_only(spark):
+    """Round-3 rewrite: the Lloyd assignment must be ArrowEvalPython over the
+    corpus with NO corpus x K join and NO per-candidate window — only the
+    K x dim centroid-sum aggregate may shuffle."""
+    from kgx.ops import simsearch as S
+
+    cq = spark.range(0, 2000, 1, 4).selectExpr(
+        "id AS cand_id",
+        "transform(sequence(1, 8), j -> CAST(id * j % 97 AS LONG)) AS vq",
+    )
+    cents = [(k, [k * 3 + j for j in range(8)]) for k in range(4)]
+    assigned = cq.select("vq", S.nearest_cidx_udf(cents)("vq").alias("cidx"))
+    sums = assigned.groupBy("cidx").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.element_at("vq", i + 1)).alias(f"s{i}") for i in range(8)],
+    )
+    plan = _plan(sums)
+    assert "ArrowEvalPython" in plan, plan[:1200]
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct", "Window",
+                "SortMergeJoin"):
+        assert bad not in plan, (bad, plan[:1200])
+    # partial aggregation before the exchange: the shuffle carries K x dim sums
+    assert plan.index("HashAggregate") < plan.index("Exchange"), plan[:1200]
+
+
+def test_salted_join_partitions_by_salt(spark):
+    """The salted join's exchange must hash-partition on (key, _salt) so a hot
+    key spreads across `salt` reducer partitions (the helper's entire point —
+    see kgx/ops/skew.py for when to actually use it)."""
+    from kgx.ops.skew import salted_join
+
+    fact = spark.range(0, 10_000, 1, 8).selectExpr(
+        "'hot' AS domain", "id", "CAST(id AS STRING) AS payload"
+    )
+    dim = spark.createDataFrame([("hot", "m")], "domain string, meta string")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(salted_join(fact, dim, "domain", salt=8))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # the exchange must hash-partition on _salt (a constant hot key is even
+    # constant-folded out of the key list, leaving _salt as the ONLY
+    # distribution column — the strongest form of the property)
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges and all("_salt" in e for e in exchanges), plan[:1500]
