@@ -55,6 +55,21 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int) -> dict:
     spark = get_spark(
         master=f"local[{cpus}]", shuffle_partitions=2 * cpus, app_name="kgx-bench"
     )
+    # steady-state measurement (same protocol as bench/scaling.py): spawn the
+    # Python worker pool and JIT the scan/codegen paths once before timing —
+    # otherwise the first query's number is ~4s of process startup, not query
+    # cost. One tiny Arrow round-trip + one parquet aggregate.
+    import pandas as pd
+
+    def _ident(bs):
+        for b in bs:
+            yield pd.DataFrame({"x": b["x"]})
+
+    spark.range(2 * cpus).selectExpr("CAST(id AS STRING) x").repartition(
+        2 * cpus
+    ).mapInPandas(_ident, "x string").count()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
