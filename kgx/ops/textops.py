@@ -470,6 +470,92 @@ FROM u
 """
 
 
+
+# --- BM25 keyword ranking (training-data retrieval scoring, SURVEY "beyond") ---------- #
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 3
+
+
+def t13_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-k documents per keyword — the retrieval-quality scorer a
+    training-data pipeline uses to mine topical documents at corpus scale.
+
+    Fully relational (no UDFs): token explode -> tf per (keyword, doc) +
+    doc length, two broadcastable O(#keywords) aggregates (df, avgdl), a
+    whole-corpus scalar N, then the BM25 formula in JVM expressions and a
+    per-keyword top-k window. Every shuffle is O(hits) or O(keywords); the
+    corpus-sized explode feeds a partial-aggregated groupBy. Exact DuckDB
+    oracle: idf/tf math is double-precision on both engines, rounded to 6
+    before ranking AND output (ties broken by doc_id, so the rank column is
+    deterministic even under last-ulp drift)."""
+    d = load(spark, sf, "documents")
+    kw = spark.createDataFrame([(k,) for k in KEYWORDS], "keyword string")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", "\\s+")).alias("tok")
+    )
+    doclen = d.select(
+        "doc_id", F.size(F.split("text", "\\s+")).cast("double").alias("dl")
+    )
+    n_docs = d.count()  # scalar: one job, O(metadata) on parquet row counts
+    tf = (
+        toks.join(F.broadcast(kw), F.col("tok") == F.col("keyword"))
+        .groupBy("keyword", "doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("keyword").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    avgdl = float(doclen.agg(F.avg("dl")).first()[0])
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    scored = (
+        tf.join(F.broadcast(df_), "keyword")
+        .join(doclen, "doc_id")
+        .withColumn(
+            "score",
+            F.round(
+                idf
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("keyword").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("keyword", "doc_id", "rank", "score")
+    )
+
+
+T13_SQL = f"""
+WITH kw(keyword) AS (VALUES {_KW_LIT}),
+dl AS (SELECT doc_id, len(string_split_regex(text, '\\s+'))::DOUBLE AS dl
+       FROM documents),
+stats AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+        FROM documents),
+tf AS (SELECT keyword, doc_id, COUNT(*)::DOUBLE AS tf
+       FROM tok JOIN kw ON tok = keyword GROUP BY keyword, doc_id),
+df AS (SELECT keyword, COUNT(*)::DOUBLE AS df FROM tf GROUP BY keyword),
+s AS (
+  SELECT tf.keyword, tf.doc_id,
+         ROUND(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({BM25_K1} + 1))
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)),
+               6) AS score
+  FROM tf JOIN df USING (keyword) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT keyword, doc_id, rank, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY keyword
+                               ORDER BY score DESC, doc_id) AS rank
+  FROM s
+) WHERE rank <= {BM25_TOPK}
+"""
+
+
 # --- gazetteer mention detection (Aho-Corasick batch UDF, SURVEY §2.7) ---------------- #
 # term -> kind; includes a multi-word term, where the one-pass automaton
 # genuinely differs from per-keyword regex scans (t09)
@@ -517,4 +603,5 @@ QUERIES = {
     "t10_gazetteer_hits": (t10_gazetteer_hits, T10_SQL),
     "t11_keyword_positions": (t11_keyword_positions, T11_SQL),
     "t12_keyword_pages": (t12_keyword_pages, T12_SQL),
+    "t13_bm25_topk": (t13_bm25_topk, T13_SQL),
 }
