@@ -1,13 +1,16 @@
 """Similarity search over the `embeddings` table (array<float>, dim 64).
 
-- s01: brute-force cosine top-k — the exactness baseline. JVM-side dot product
-  via zip_with/aggregate after casting to double; broadcast the (small) query
-  side so the scan side streams without a shuffle.
-- s02: embedding-cosine near-duplicate pairs above a threshold.
+- s01: brute-force cosine top-k — the exactness baseline. Scoring is a numpy
+  pandas UDF (Arrow-batched); the query side is broadcast so the scan side
+  streams without a shuffle. (The interpreted zip_with/aggregate HOF this
+  replaced measured 8.6s vs 2.6s at 100k vectors — SURVEY §8.3.)
+- s02: embedding-cosine near-duplicate pairs above a threshold (label-blocked).
 - s03: LSH-bucketed ANN (random hyperplane signatures, Hamming-band blocking) —
-  the scale path: candidates come from equi-joined signature bands instead of a
-  full cross product; exact cosine re-ranks candidates. Rows-only oracle
-  (recall vs s01 is asserted in tests instead).
+  candidates come from equi-joined signature bands instead of a full cross
+  product; exact cosine re-ranks candidates. Exact DuckDB oracle via an
+  engine-portable integer scheme.
+- s04 / ivf_build + ivf_query: IVF index — train the coarse quantizer once,
+  materialize cell membership, amortize per-query probe + re-rank.
 """
 
 from __future__ import annotations
@@ -25,16 +28,6 @@ def _dvec(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
-
-
-def _cosine(a, b):
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
-
-
 def _split(spark: SparkSession, sf: str):
     e = load(spark, sf, "embeddings").withColumn("v", _dvec(F.col("embedding")))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -47,9 +40,13 @@ def _split(spark: SparkSession, sf: str):
 
 
 def s01_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force exact top-k: broadcast the query side, score every
+    (query, candidate) pair. Scoring is the numpy pandas UDF — the
+    interpreted zip_with/aggregate HOF this replaced measured 8.6s vs 2.6s
+    at 100k vectors x 10 queries (the SURVEY §8.3 finding yet again)."""
     q, c = _split(spark, sf)
     scored = c.join(F.broadcast(q)).withColumn(
-        "cos", F.round(_cosine(F.col("qv"), F.col("cv")), 6)
+        "cos", _cos_np_udf(F.col("qv"), F.col("cv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
@@ -91,7 +88,7 @@ def s02_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return (
         a.join(b, "label")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cos", F.round(_cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos", _cos_np_udf(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= SIM_THRESHOLD)
         .select("a", "b", "cos")
     )
@@ -326,26 +323,27 @@ def nearest_cidx_udf(cents: list[tuple[int, list[int]]]):
     return nearest
 
 
-def s04_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-style ANN: K_CELLS-cell coarse quantizer trained with IVF_ITERS
-    deterministic Lloyd iterations (seeds = the K smallest cand_ids), queries
-    probe the N_PROBE nearest cells, exact cosine re-ranks the probed members.
+def ivf_build(
+    c: DataFrame, k_cells: int = K_CELLS, iters: int = IVF_ITERS
+) -> tuple[list[tuple[int, list[int]]], DataFrame]:
+    """Train the coarse quantizer and materialize cell membership ONCE —
+    the build-once/query-many half of the IVF index (at corpus scale this is
+    a persisted table keyed by cidx; here a localCheckpoint).
 
-    Scale shape: centroids are always O(K) — collected/broadcast per iteration
-    (the standard k-means dataflow); assignment is a map-only numpy pandas UDF
-    (nearest_cidx_udf — no corpus exchange per iteration); the only shuffle in
-    training is the K x dim partial-aggregated centroid-sum groupBy. Integer
-    quantization (see above) makes the oracle (S04_SQL) value-exact,
-    tie-breaks included ((distance, cidx) ordering).
+    ``c`` must carry (cand_id, cv). Returns (centroids, cells DataFrame
+    (cand_id, cv, cidx)). Centroids are always O(K) — collected/broadcast per
+    iteration (the standard k-means dataflow); assignment is a map-only numpy
+    pandas UDF (nearest_cidx_udf — no corpus exchange per iteration); the only
+    shuffle in training is the K x dim partial-aggregated centroid-sum
+    groupBy. Integer quantization (see above) keeps every number engine-exact.
     """
-    q, c = _split(spark, sf)
     cq = c.select("cand_id", "cv", _quant_shifted("cv").alias("vq")).localCheckpoint()
 
-    seeds = cq.orderBy("cand_id").limit(K_CELLS).select("vq").collect()
+    seeds = cq.orderBy("cand_id").limit(k_cells).select("vq").collect()
     cents = [(i, [int(x) for x in r["vq"]]) for i, r in enumerate(seeds)]
 
     dim = len(cents[0][1])
-    for _ in range(IVF_ITERS):
+    for _ in range(iters):
         sums = (
             cq.select("vq", nearest_cidx_udf(cents)("vq").alias("cidx"))
             .groupBy("cidx")
@@ -368,7 +366,20 @@ def s04_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
         cq.select("cand_id", "cv", nearest_cidx_udf(cents)("vq").alias("cidx"))
         .localCheckpoint()
     )
+    return cents, cells
 
+
+def ivf_query(
+    q: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    cells: DataFrame,
+    n_probe: int = N_PROBE,
+    k: int = K,
+) -> DataFrame:
+    """Probe the n_probe nearest cells per query, exact-cosine re-rank the
+    probed members. O(queries x K) probe + O(probed members) re-rank — the
+    amortized per-query half of the index."""
+    spark = q.sparkSession
     cent_df = spark.createDataFrame(cents, "cidx int, cent array<long>")
     qq = q.select("query_id", "qv", _quant_shifted("qv").alias("vq"))
     wq = Window.partitionBy("query_id").orderBy("d", "cidx")
@@ -376,18 +387,29 @@ def s04_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
         qq.crossJoin(F.broadcast(cent_df))
         .withColumn("d", _sqdist("vq", "cent"))
         .withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= N_PROBE)
+        .filter(F.col("_rn") <= n_probe)
         .select("query_id", "qv", "cidx")
     )
     scored = probe.join(cells, "cidx").withColumn(
-        "cos", F.round(_cosine(F.col("qv"), F.col("cv")), 6)
+        "cos", _cos_np_udf(F.col("qv"), F.col("cv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= K)
+        .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "cos")
     )
+
+
+def s04_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: K_CELLS-cell coarse quantizer trained with IVF_ITERS
+    deterministic Lloyd iterations (seeds = the K smallest cand_ids), queries
+    probe the N_PROBE nearest cells, exact cosine re-ranks the probed members.
+    Composition of ivf_build (train once) + ivf_query (amortized per-query);
+    the oracle (S04_SQL) is value-exact, tie-breaks included."""
+    q, c = _split(spark, sf)
+    cents, cells = ivf_build(c)
+    return ivf_query(q, cents, cells)
 
 
 def _sql_sqdist(a: str, b: str, dim: int) -> str:
