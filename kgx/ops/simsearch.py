@@ -40,17 +40,55 @@ def _split(spark: SparkSession, sf: str):
 
 
 def s01_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Brute-force exact top-k: broadcast the query side, score every
-    (query, candidate) pair. Scoring is the numpy pandas UDF — the
-    interpreted zip_with/aggregate HOF this replaced measured 8.6s vs 2.6s
-    at 100k vectors x 10 queries (the SURVEY §8.3 finding yet again)."""
+    """Brute-force EXACT top-k, shaped for scale: the O(queries) matrix rides
+    the UDF closure, ONE mapInPandas pass scores each candidate batch against
+    all queries with a numpy matmul and emits only per-batch top-k partials,
+    and a window over the (batches x queries x K)-row partial set picks the
+    global top-k. Exactness is preserved because the global top-k is a subset
+    of the per-batch top-ks (same (cos desc, cand_id asc) order both levels).
+
+    Evolution, measured at 100k vectors x 10 queries (SURVEY §8.3):
+    interpreted zip_with/aggregate HOF on a 1M-row crossJoin = 8.6s; numpy
+    UDF on the same crossJoin = 6.9s (Arrow transfer of 1M vector PAIRS
+    dominates); this shape = no pair materialization at all."""
+    import numpy as np
+    import pandas as pd
+
     q, c = _split(spark, sf)
-    scored = c.join(F.broadcast(q)).withColumn(
-        "cos", _cos_np_udf(F.col("qv"), F.col("cv"))
+    qrows = sorted(q.collect(), key=lambda r: r.query_id)  # O(queries) driver
+    Q = np.stack([np.asarray(r.qv, dtype=np.float64) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = np.array([r.query_id for r in qrows], dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ Qn.T  # (batch, queries)
+            # round half-away-from-zero: matches F.round/DuckDB (see _cos_np_udf)
+            S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+            cand = pdf["cand_id"].to_numpy()
+            out = []
+            for j in range(len(qids)):
+                col = S[:, j]
+                # top-K by (cos desc, cand_id asc): lexsort on (-cos, cand)
+                order = np.lexsort((cand, -col))[:K]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qids[j], "cand_id": cand[order],
+                         "cos": col[order]}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    partials = c.select("cand_id", "cv").mapInPandas(
+        gen, "query_id long, cand_id long, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= K)
         .select("query_id", "cand_id", "rank", "cos")
     )
