@@ -152,3 +152,26 @@ def test_commit_seq_monotonic_not_len(spark, small_pages, tmp_path):
     seqs = [m["seq"] for m in store.manifests()]
     assert len(seqs) == len(set(seqs))
     assert max(seqs) == seq_before + 1
+
+
+def test_compact_keep_last_preserves_recent_boundaries(spark, small_pages, tmp_path):
+    """compact(keep_last=1): older units merge, the newest unit and its
+    snapshot boundary survive untouched."""
+    store = TripleStore(str(tmp_path / "kl"), n_buckets=4)
+    units = pipeline.run_checkpointed(spark, small_pages, store, groups=4)
+    assert len(units) >= 3
+    ordered = [m["unit"] for m in sorted(store.manifests(), key=lambda m: m["seq"])]
+    newest = ordered[-1]
+    before = _triple_set(store.read(spark))
+    asof_newest_before = _triple_set(store.read_as_of(spark, newest))
+    asof_prev_before = _triple_set(store.read_as_of(spark, ordered[-2]))
+
+    merged = store.compact(spark, keep_last=1)
+    assert merged is not None
+    live = [m["unit"] for m in sorted(store.manifests(), key=lambda m: m["seq"])]
+    assert live == [merged, newest]
+    assert _triple_set(store.read(spark)) == before
+    # the surviving boundary still reads identically
+    assert _triple_set(store.read_as_of(spark, newest)) == asof_newest_before
+    # the merged boundary equals the boundary of the last REPLACED unit
+    assert _triple_set(store.read_as_of(spark, merged)) == asof_prev_before
