@@ -639,26 +639,27 @@ def connected_components(
     Component ids differ between the two paths (min-surface vs min-hash) but
     grouping — the only thing consumers use — is identical.
     """
-    # materialize once: the guard stats, the touched-node projection, and the
-    # chosen CC strategy are all separate actions that would otherwise each
-    # re-run the whole upstream blocking/verification pipeline
+    # materialize once: the guard probe and the chosen CC strategy are
+    # separate actions that would otherwise each re-run the whole upstream
+    # blocking/verification pipeline
     edges = edges.localCheckpoint()
-    stats = edges.limit(DRIVER_CC_MAX_EDGES + 1).agg(
-        F.count(F.lit(1)).alias("n"),
-        # octet_length, not length: the budget guards serialized bytes, and
-        # multi-byte surfaces (CJK) undercount 2-4x with character counts
-        F.coalesce(
-            F.sum(F.octet_length("a") + F.octet_length("b")), F.lit(0)
-        ).alias("nbytes"),
-    ).first()
-    touched = (
-        edges.select(F.col("a").alias("surface"))
-        .unionByName(edges.select(F.col("b").alias("surface")))
-        .distinct()
+    # ONE bounded collect doubles as the guard probe AND (when it fits) the
+    # driver path's input: row count, byte budget (octet_length semantics —
+    # utf-8 encoded length, so multi-byte surfaces can't undercount 2-4x),
+    # and the touched-node set all come from the same <=cap+1 rows, replacing
+    # the previous 3 jobs (stats agg, touched distinct, edge collect)
+    probe = edges.select("a", "b").limit(DRIVER_CC_MAX_EDGES + 1).collect()
+    nbytes = sum(
+        len(r["a"].encode("utf-8")) + len(r["b"].encode("utf-8")) for r in probe
     )
-    if stats["n"] <= DRIVER_CC_MAX_EDGES and stats["nbytes"] <= DRIVER_CC_MAX_BYTES:
-        comp = _driver_cc(touched, edges)
+    if len(probe) <= DRIVER_CC_MAX_EDGES and nbytes <= DRIVER_CC_MAX_BYTES:
+        comp = _driver_cc_from_rows(edges.sparkSession, probe)
     else:
+        touched = (
+            edges.select(F.col("a").alias("surface"))
+            .unionByName(edges.select(F.col("b").alias("surface")))
+            .distinct()
+        )
         comp = _distributed_cc(touched, edges, max_iter)
     isolated = (
         nodes.select("surface")
@@ -672,7 +673,10 @@ def connected_components(
     return comp.unionByName(isolated)
 
 
-def _driver_cc(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+def _driver_cc_from_rows(spark, edge_rows, extra_surfaces=()) -> DataFrame:
+    """Union-find over an ALREADY-COLLECTED edge list (the guard probe rows —
+    no second Spark job). Touched nodes are the edge endpoints; callers add
+    ``extra_surfaces`` for nodes that must appear as singletons."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -681,10 +685,10 @@ def _driver_cc(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    surfaces = [r[0] for r in nodes.select("surface").distinct().collect()]
-    for s in surfaces:
+    for s in extra_surfaces:
         parent[s] = s
-    for a, b in edges.select("a", "b").collect():
+    for r in edge_rows:
+        a, b = r["a"], r["b"]
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -697,8 +701,14 @@ def _driver_cc(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     # — a raw surface that literally looks like another path's label (e.g.
     # 'h:123') could otherwise merge unrelated groups
     rows = [(s, "s:" + find(s)) for s in parent]
-    spark = nodes.sparkSession
     return spark.createDataFrame(rows, "surface string, component string")
+
+
+def _driver_cc(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    surfaces = [r[0] for r in nodes.select("surface").distinct().collect()]
+    return _driver_cc_from_rows(
+        nodes.sparkSession, edges.select("a", "b").collect(), surfaces
+    )
 
 
 def _distributed_cc(nodes: DataFrame, edges: DataFrame, max_iter: int = 20) -> DataFrame:
