@@ -172,3 +172,40 @@ def test_aho_corasick_self_overlapping_term_counts_like_regex():
     ac = AhoCorasick(["a b a"])
     assert ac.counts("a b a b a") == {"a b a": 1}
     assert ac.counts("a b a  a b a") == {"a b a": 2}  # disjoint: both count
+
+
+_html_frags = st.sampled_from([
+    "<p>", "</p>", "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
+    "<div>", "</div>", "<script>", "</script>", "<nav>", "</nav>", "<br>",
+    "<h2>", "</h2>", "<b", ">", "<", "&amp;", "&#x27;", "&bogus;",
+    "1.2 Project Proponents\n", "Organization Name: X\n", "AMS-III.D.",
+    "01/02/2020", "located in A, B at latitude 1.5 and longitude 2.5",
+    "2020<=>-12.5\n",
+])
+
+
+@given(st.lists(_html_frags | st.text(max_size=20), max_size=60).map("".join))
+@settings(max_examples=300, deadline=None)
+def test_kernel_survives_malformed_web_input(s):
+    """Web-scale crash resistance: arbitrary junk — truncated tags, bogus
+    entities, shuffled structure markers, half-matching extraction patterns —
+    must never raise anywhere in the per-page kernel chain (a crashing row
+    kills a 100 TB task and its retries). Deterministic too."""
+    t = kernel.html_to_text(s)
+    assert kernel.html_to_text(s) == t
+    kernel.page_facts(t)
+    for cat in kernel._EXTRACTORS:
+        kernel.extract_fact(cat, t)
+    kernel.sections_from_text(t)
+    kernel.resolve_sections_last_match(t)
+    kernel.chunk_text(t)
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=200, deadline=None)
+def test_kernel_survives_arbitrary_bytes(b):
+    """html payloads are binary on the wire; undecodable bytes must degrade,
+    not raise."""
+    t = kernel.html_to_text(b)
+    assert isinstance(t, str)
+    kernel.page_facts(t)
