@@ -88,3 +88,27 @@ def test_ivf_nearest_udf_matches_hof_assignment(spark):
         for r in df.select("cand_id", nearest_cidx_udf(cents)("vq").alias("cidx")).collect()
     }
     assert udf == hof
+
+
+def test_dedup_clusters_degenerate_corpora(spark):
+    """Web-scale edge shapes must not break clustering: empty texts (exact
+    dups of each other), an all-identical corpus, a single doc, and an empty
+    corpus."""
+    from kgx import canon
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        out = canon.dedup_clusters(df, id_col="doc_id", text_col="text").collect()
+        comps = {}
+        for r in out:
+            comps.setdefault(r.component, set()).add(r.doc_id)
+        return len(out), {frozenset(v) for v in comps.values()}
+
+    n, groups = run([("1", ""), ("2", ""), ("3", "x")])
+    assert n == 3 and groups == {frozenset({"1", "2"}), frozenset({"3"})}
+    n, groups = run([("1", "same same"), ("2", "same same"), ("3", "same same")])
+    assert n == 3 and groups == {frozenset({"1", "2", "3"})}
+    n, groups = run([("1", "only doc")])
+    assert n == 1 and groups == {frozenset({"1"})}
+    n, groups = run([])
+    assert n == 0 and groups == set()
