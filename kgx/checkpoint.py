@@ -230,6 +230,15 @@ class TripleStore:
                           ignore_errors=True)
         return unit_id
 
+    def known_content(self, spark: SparkSession):
+        """Distinct content_sha of every committed triple, or None on an empty
+        store — the committed-content side of the reference's content-hash
+        cache. Column-pruned scan: only the content_sha column is read."""
+        units = [m["unit"] for m in self.manifests()]
+        if not units:
+            return None
+        return self._read_units(spark, units).select("content_sha").distinct()
+
     # -- staging (phase A of a run: facts persisted before global canon) -------
     def stage(self, facts: DataFrame, key: str, buckets: list[int]) -> None:
         tmp = os.path.join(self.root, f"_stage-tmp-{key}")

@@ -27,13 +27,42 @@ from kgx import canon, extract, pipeline
 from kgx.schema import PAGES
 
 
-def ingest_available_now(spark: SparkSession, pages_dir: str, store) -> list[str]:
-    """Consume all currently-available page files into the store; returns unit ids."""
+def ingest_available_now(
+    spark: SparkSession, pages_dir: str, store, dedup_content: bool = False
+) -> list[str]:
+    """Consume all currently-available page files into the store; returns unit ids.
+
+    ``dedup_content=True`` reproduces the reference's content-hash cache
+    semantics (initial_pipeline/app.py:70-81) at the ingest boundary: a page
+    whose sha2(html) was already committed — same document mirrored at a new
+    URL, or reposted in a later wave — is skipped BEFORE the extraction
+    kernel runs, and within a batch only the min-url copy of each distinct
+    content survives. The committed-content check is a left anti join against
+    the store's distinct content_sha column (column-pruned parquet scan of
+    the triple store — O(store metadata + one column), not O(triples bytes)).
+    """
     committed: list[str] = []
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.take(1):
             return
+        if dedup_content:
+            from pyspark.sql import Window
+
+            keyed = batch_df.withColumn(
+                "content_sha", F.sha2(F.col("html"), 256)
+            )
+            # deterministic within-batch keep: min url per distinct content
+            w = Window.partitionBy("content_sha")
+            keyed = keyed.withColumn(
+                "_keep", F.min("url").over(w)
+            ).filter(F.col("url") == F.col("_keep")).drop("_keep")
+            known = store.known_content(spark)
+            if known is not None:
+                keyed = keyed.join(known, "content_sha", "left_anti")
+            batch_df = keyed.drop("content_sha")
+            if not batch_df.take(1):
+                return
         facts = pipeline.extract_stage(spark, batch_df)
         mentions = facts.filter(F.col("pred") == "project_proponents").select(
             F.explode("surfaces").alias("surface")

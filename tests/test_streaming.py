@@ -189,3 +189,33 @@ def test_first_seen_ttl_evicts_and_reemits(spark, tmp_path):
     out3 = run_wave()
     assert len(out3) == 2
     assert {r[0] for r in out3} <= {r[0] for r in out1}
+
+
+def test_ingest_dedup_content_skips_mirrors_and_reposts(spark, tmp_path):
+    """dedup_content=True: identical html at a NEW url — within a batch or in
+    a later wave — never reaches extraction (the reference's content-hash
+    cache at the ingest boundary)."""
+    from kgx import kernel
+
+    pages = fixtures.gen_pages(10)
+    pages_dir = str(tmp_path / "inbox")
+    store = TripleStore(str(tmp_path / "store_dc"), n_buckets=4)
+
+    mirror_in_batch = {**pages[0], "url": "https://mirror.example/proj/9990"}
+    _write_pages(pages[:6] + [mirror_in_batch], f"{pages_dir}/part-0.parquet")
+    units1 = streaming.ingest_available_now(spark, pages_dir, store,
+                                            dedup_content=True)
+    assert units1
+    subj1 = {r.subj for r in store.read(spark).select("subj").distinct().collect()}
+    # the within-batch mirror lost the min-url race: no triples for its subject
+    assert kernel.page_id_from_url(mirror_in_batch["url"]) not in subj1
+    assert kernel.page_id_from_url(pages[0]["url"]) in subj1
+
+    # later wave: a repost of committed content + genuinely new pages
+    repost = {**pages[1], "url": "https://repost.example/proj/9991"}
+    _write_pages(pages[6:] + [repost], f"{pages_dir}/part-1.parquet")
+    streaming.ingest_available_now(spark, pages_dir, store, dedup_content=True)
+    subj2 = {r.subj for r in store.read(spark).select("subj").distinct().collect()}
+    assert kernel.page_id_from_url(repost["url"]) not in subj2
+    for p in pages[6:]:
+        assert kernel.page_id_from_url(p["url"]) in subj2
