@@ -230,6 +230,45 @@ class TripleStore:
                           ignore_errors=True)
         return unit_id
 
+    def vacuum(self, spark: SparkSession) -> dict:
+        """Housekeeping for long-lived stores (Iceberg remove_orphan_files +
+        snapshot-expiry counterpart):
+
+        - drop crash orphans: ``_tmp-*`` / ``_stage-tmp-*`` / ``_ent-tmp-*``
+          under the store root are the tmp halves of interrupted atomic
+          renames — never referenced by any manifest, pure garbage;
+        - compact the entity dictionary: save_entities appends one directory
+          per run and known_entities unions them all, so a store that has run
+          N times scans N directories; rewrite the distinct union into ONE
+          directory (write-new-then-delete-old — a crash between the two
+          leaves duplicates, which the reader's distinct() tolerates).
+        """
+        import shutil
+
+        removed = 0
+        for name in os.listdir(self.root):
+            if name.startswith(("_tmp-", "_stage-tmp-", "_ent-tmp-")):
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+                removed += 1
+        for name in os.listdir(self.staging_dir):
+            if name.startswith("_tmp-"):
+                shutil.rmtree(os.path.join(self.staging_dir, name),
+                              ignore_errors=True)
+                removed += 1
+
+        ent_dirs = sorted(
+            d for d in os.listdir(self.entities_dir) if not d.startswith("_")
+        )
+        compacted = 0
+        if len(ent_dirs) > 1:
+            merged = self.known_entities(spark)
+            self.save_entities(merged)
+            for d in ent_dirs:
+                shutil.rmtree(os.path.join(self.entities_dir, d),
+                              ignore_errors=True)
+            compacted = len(ent_dirs)
+        return {"orphans_removed": removed, "entity_dirs_compacted": compacted}
+
     def known_content(self, spark: SparkSession):
         """Distinct content_sha of every committed triple, or None on an empty
         store — the committed-content side of the reference's content-hash

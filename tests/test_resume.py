@@ -175,3 +175,32 @@ def test_compact_keep_last_preserves_recent_boundaries(spark, small_pages, tmp_p
     assert _triple_set(store.read_as_of(spark, newest)) == asof_newest_before
     # the merged boundary equals the boundary of the last REPLACED unit
     assert _triple_set(store.read_as_of(spark, merged)) == asof_prev_before
+
+
+def test_vacuum_removes_orphans_and_compacts_entities(spark, small_pages, tmp_path):
+    import os
+
+    store = TripleStore(str(tmp_path / "vac"), n_buckets=4)
+    pipeline.run_checkpointed(spark, small_pages, store, groups=2)
+    # a second entity generation + crash orphans
+    extra = spark.createDataFrame(
+        [("Solar Co", "Solar Co"), ("SOLAR CO", "Solar Co")], "surface string, rep string"
+    )
+    store.save_entities(extra)
+    for orphan in ("_tmp-dead1", "_stage-tmp-dead2", "_ent-tmp-dead3"):
+        os.makedirs(os.path.join(store.root, orphan), exist_ok=True)
+    assert len([d for d in os.listdir(store.entities_dir) if not d.startswith("_")]) >= 2
+
+    before_entities = {tuple(r) for r in store.known_entities(spark).collect()}
+    before_triples = _triple_set(store.read(spark))
+
+    stats = store.vacuum(spark)
+    assert stats["orphans_removed"] >= 3
+    assert stats["entity_dirs_compacted"] >= 2
+
+    assert {tuple(r) for r in store.known_entities(spark).collect()} == before_entities
+    assert _triple_set(store.read(spark)) == before_triples
+    assert len([d for d in os.listdir(store.entities_dir) if not d.startswith("_")]) == 1
+    assert not any(n.startswith("_tmp-") for n in os.listdir(store.root))
+    # resume bookkeeping untouched: a re-run still commits nothing
+    assert pipeline.run_checkpointed(spark, small_pages, store, groups=2) == []
