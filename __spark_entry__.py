@@ -38,10 +38,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _all_queries() -> dict[str, tuple]:
-    from kgx.ops import relational, simsearch, textops
+    from kgx.ops import multimodal, relational, simsearch, textops
 
     merged: dict[str, tuple] = {}
-    for mod in (relational, textops, simsearch):
+    for mod in (relational, textops, simsearch, multimodal):
         merged.update(mod.QUERIES)
     return merged
 

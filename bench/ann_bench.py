@@ -7,7 +7,9 @@ neighbors at cosine ~0.9, the rest of the corpus is random — then measures
 wall time and recall@K of each method against the brute-force truth.
 
 Usage: python bench/ann_bench.py [n_vectors] [cpus]
-Writes BENCH/ann_result.json; BENCH/BASELINE.md is curated by hand.
+       python bench/ann_bench.py sweep [n_vectors] [cpus]   # IVF operating curve
+Writes BENCH/ann_result.json (or BENCH/ann_sweep.json); BENCH/BASELINE.md is
+curated by hand.
 """
 
 from __future__ import annotations
@@ -53,12 +55,9 @@ def _make_corpus(path: str, n: int) -> None:
                    row_group_size=max(256, n // 64))
 
 
-def main() -> None:
-    from kgx.ops import simsearch as S
+def _setup(n: int, cpus: int):
     from kgx.session import get_spark
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     sf_dir = f"/tmp/kgx_ann_{n}"
     if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
         _make_corpus(sf_dir, n)
@@ -74,6 +73,65 @@ def main() -> None:
 
     spark.range(2 * cpus).selectExpr("CAST(id AS STRING) x").repartition(
         2 * cpus).mapInPandas(_ident, "x string").count()
+    return spark, sf_dir
+
+
+def sweep() -> None:
+    """IVF operating-point curve: recall@K + per-query-pass wall time across
+    (k_cells, n_probe) at one corpus size, against brute-force truth — the
+    table a user needs to pick an operating point (the analog of the
+    reference's k=ceil(n/2) retrieval-depth rule, context_extractor.py:126)."""
+    from kgx.ops import simsearch as S
+
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    spark, sf_dir = _setup(n, cpus)
+
+    t0 = time.perf_counter()
+    exact = S.s01_cosine_topk(spark, sf_dir).collect()
+    brute_sec = round(time.perf_counter() - t0, 2)
+    truth: dict[int, set] = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.cand_id)
+    total = sum(len(t) for t in truth.values())
+
+    q, c = S._split(spark, sf_dir)
+    points = []
+    for kc in (8, 16, 32):
+        t0 = time.perf_counter()
+        cents, cells = S.ivf_build(c, k_cells=kc)
+        build_sec = round(time.perf_counter() - t0, 2)
+        for n_probe in (1, 2, 4, 8):
+            if n_probe > kc:
+                continue
+            t0 = time.perf_counter()
+            rows = S.ivf_query(q, cents, cells, n_probe=n_probe).collect()
+            qsec = round(time.perf_counter() - t0, 2)
+            got: dict[int, set] = {}
+            for r in rows:
+                got.setdefault(r.query_id, set()).add(r.cand_id)
+            hits = sum(len(got.get(qid, set()) & t) for qid, t in truth.items())
+            points.append({
+                "k_cells": kc, "n_probe": n_probe, "build_sec": build_sec,
+                "query_sec": qsec, "recall_at_k": round(hits / total, 3),
+            })
+            print(points[-1])
+    out = {"n_vectors": n, "dim": DIM, "cpus": cpus, "k": S.K,
+           "brute_force_sec": brute_sec, "points": points}
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/ann_sweep.json", "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(json.dumps(out))
+    spark.stop()
+
+
+def main() -> None:
+    from kgx.ops import simsearch as S
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    spark, sf_dir = _setup(n, cpus)
 
     results: dict[str, dict] = {}
     truth: dict[int, set] = {}
@@ -121,4 +179,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        sweep()
+    else:
+        main()

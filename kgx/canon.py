@@ -17,11 +17,11 @@ scale path mandated by BASELINE.json:north_rule:
 5. exact-Jaccard verification on the full shingle sets (array_intersect /
    array_union) >= threshold — LSH is only a blocker, correctness comes from the
    exact check, so output is deterministic given the input set;
-6. connected components via iterative min-label propagation over the edge list
-   (GraphFrames is not on this classpath; this is the standard large/small-star
-   contraction in its simple min-neighbor form), localCheckpoint each round to
-   cut lineage — component diameter bounds iterations (variant clusters are
-   shallow; the loop exits when no label changes);
+6. connected components via alternating large-star/small-star contraction
+   over the edge list (GraphFrames is not on this classpath; Kiveris et al.,
+   'Connected Components in MapReduce and Beyond'), localCheckpoint per round
+   to cut lineage — O(log n) rounds to a star fixpoint regardless of component
+   diameter, and a non-converged exit raises instead of splitting components;
 7. representative per component = min (normalized, raw) surface, matching the
    golden rule in kgx.fixtures._canon_groups.
 """
@@ -389,7 +389,7 @@ def dedup_clusters(
     3. LSH banding + exact-Jaccard verification over representatives only,
        carrying the id string through the band shuffle;
     4. connected components over ids (driver union-find under the row+byte
-       guards, distributed min-label propagation above);
+       guards, distributed star-contraction CC above);
     5. every doc maps to its exact-rep's component; docs whose text is unique
        and un-clustered are their own singleton component.
 
@@ -633,8 +633,9 @@ def connected_components(
       a 40-node graph, which dominates small-corpus runs. The fast path is
       gated on BOTH a row count and an estimated-bytes budget (a 2M-row limit
       alone would admit multi-GB collects of long keys — round-1 review);
-    - large graphs: distributed min-label propagation with localCheckpoint per
-      round to cut lineage (SURVEY.md §7 'What's hard'); deterministic labels
+    - large graphs: distributed large-star/small-star contraction with
+      localCheckpoint per round to cut lineage (SURVEY.md §7 'What's hard');
+      O(log n) rounds independent of component diameter; deterministic labels
       (min xxhash64(surface) over the component, 'h:'-prefixed strings).
     Component ids differ between the two paths (min-surface vs min-hash) but
     grouping — the only thing consumers use — is identical.
@@ -643,17 +644,29 @@ def connected_components(
     # separate actions that would otherwise each re-run the whole upstream
     # blocking/verification pipeline
     edges = edges.localCheckpoint()
-    # ONE bounded collect doubles as the guard probe AND (when it fits) the
-    # driver path's input: row count, byte budget (octet_length semantics —
-    # utf-8 encoded length, so multi-byte surfaces can't undercount 2-4x),
-    # and the touched-node set all come from the same <=cap+1 rows, replacing
-    # the previous 3 jobs (stats agg, touched distinct, edge collect)
-    probe = edges.select("a", "b").limit(DRIVER_CC_MAX_EDGES + 1).collect()
-    nbytes = sum(
-        len(r["a"].encode("utf-8")) + len(r["b"].encode("utf-8")) for r in probe
+    # guard FIRST, executor-side: count + byte budget (octet_length = utf-8
+    # encoded length, so multi-byte surfaces can't undercount 2-4x) over the
+    # bounded limit(cap+1) slice. The collect happens ONLY after both budgets
+    # pass — an edge set under the row cap but over the byte cap (long CJK
+    # surfaces) must route to the distributed path WITHOUT ever being pulled
+    # onto the driver (a cap+1 collect of such rows is itself the OOM the
+    # byte guard exists to prevent — round-3 review)
+    stats = (
+        edges.select("a", "b")
+        .limit(DRIVER_CC_MAX_EDGES + 1)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.octet_length("a") + F.octet_length("b")), F.lit(0)
+            ).alias("nbytes"),
+        )
+        .first()
     )
-    if len(probe) <= DRIVER_CC_MAX_EDGES and nbytes <= DRIVER_CC_MAX_BYTES:
-        comp = _driver_cc_from_rows(edges.sparkSession, probe)
+    if stats["n"] <= DRIVER_CC_MAX_EDGES and stats["nbytes"] <= DRIVER_CC_MAX_BYTES:
+        # reads the checkpointed edges, not the upstream pipeline
+        comp = _driver_cc_from_rows(
+            edges.sparkSession, edges.select("a", "b").collect()
+        )
     else:
         touched = (
             edges.select(F.col("a").alias("surface"))
@@ -711,43 +724,106 @@ def _driver_cc(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def _distributed_cc(nodes: DataFrame, edges: DataFrame, max_iter: int = 20) -> DataFrame:
-    sym = edges.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
-        edges.select(F.col("b").alias("x"), F.col("a").alias("y"))
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node u connects each strictly-larger
+    neighbor to m = min(N(u) ∪ {u}). Edges in/out are unordered (p, q) pairs."""
+    sym = e.select(F.col("p").alias("u"), F.col("q").alias("v")).unionAll(
+        e.select(F.col("q").alias("u"), F.col("p").alias("v"))
     )
-    labels = nodes.select(
-        F.col("surface").alias("x"), F.xxhash64("surface").alias("label")
-    ).localCheckpoint()
-    sym = sym.localCheckpoint()
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    return (
+        sym.join(mins, "u")
+        .withColumn("m", F.least("mv", "u"))
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("p"), F.col("m").alias("q"))
+        .filter(F.col("p") != F.col("q"))
+        .distinct()
+    )
 
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient edges large→small; every node u connects
+    its smaller neighbors (and itself) to m = min of those neighbors."""
+    oriented = e.select(
+        F.greatest("p", "q").alias("u"), F.least("p", "q").alias("v")
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("p"), F.col("m").alias("q"))
+        .unionAll(mins.select(F.col("u").alias("p"), F.col("m").alias("q")))
+        .filter(F.col("p") != F.col("q"))
+        .distinct()
+    )
+
+
+def _distributed_cc(nodes: DataFrame, edges: DataFrame, max_iter: int = 40) -> DataFrame:
+    """Distributed connected components by alternating large-star/small-star
+    contraction (Kiveris et al., 'Connected Components in MapReduce and
+    Beyond') — O(log n) rounds to a star-graph fixpoint, vs O(component
+    diameter) for plain min-label propagation. The switch is a correctness
+    fix, not a tuning: a chain-shaped duplicate component (serially mutated
+    boilerplate A≈B≈C≈…) of diameter > the round budget made the old
+    propagation loop exit with SPLIT components and no warning; star
+    contraction cannot outrun any sane budget (2^40 nodes fit in 40 rounds),
+    and a non-converged exit now RAISES instead of returning wrong groups.
+
+    Node ids are xxhash64(surface) — deterministic across any parallelism —
+    and the component label is the minimum id, so labels are identical to the
+    old propagation scheme ('h:'+min-hash) wherever both converged.
+    """
+    # ids, not surfaces, through every shuffle: fixed-width longs, and the
+    # final label ('h:'+min hash) falls out of the star roots directly
+    e = (
+        edges.select(F.xxhash64("a").alias("p"), F.xxhash64("b").alias("q"))
+        .filter(F.col("p") != F.col("q"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # decimal(38,0) sum: an order-independent edge-set signature that cannot
+    # hit ANSI long-overflow regardless of edge count
+    sig_cols = [
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("p", "q").cast("decimal(38,0)")), F.lit(0)
+        ).alias("s"),
+    ]
+    prev_sig = None
+    converged = e.isEmpty()
     for _ in range(max_iter):
-        neigh = (
-            sym.join(labels.withColumnRenamed("x", "y"), "y")
-            .groupBy("x")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neigh, "x", "left")
-            .select(
-                "x",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-            )
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "x")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if converged:
             break
+        # localCheckpoint per round: cuts lineage AND pins the edge set so the
+        # signature action doesn't re-run the round (every action re-executes
+        # a lazy plan)
+        e = _small_star(_large_star(e)).localCheckpoint()
+        row = e.agg(*sig_cols).first()
+        sig = (row["n"], row["s"])
+        if sig == prev_sig:
+            converged = True
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge in {max_iter} "
+            "large-star/small-star rounds — pathological graph or a bug; "
+            "raise max_iter"
+        )
+    # fixpoint edge set = stars (child p -> component-min root q)
+    comp = (
+        e.select(F.col("p").alias("id"), F.col("q").alias("label"))
+        .unionAll(e.select(F.col("q").alias("id"), F.col("q").alias("label")))
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
+    )
+    ids = nodes.select("surface").distinct().withColumn("id", F.xxhash64("surface"))
     # 'h:' prefix keeps hash labels distinct from the driver path's
-    # surface-valued labels when isolated nodes are appended by the caller
-    return labels.select(
-        F.col("x").alias("surface"),
-        F.concat(F.lit("h:"), F.col("label").cast("string")).alias("component"),
+    # surface-valued labels when isolated nodes are appended by the caller;
+    # coalesce: a node whose only edges were self-loops labels itself
+    return ids.join(comp, "id", "left").select(
+        "surface",
+        F.concat(
+            F.lit("h:"), F.coalesce("label", "id").cast("string")
+        ).alias("component"),
     )
 
 

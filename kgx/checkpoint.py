@@ -42,17 +42,59 @@ class TripleStore:
         self.manifest_dir = os.path.join(root, "manifest")
         self.staging_dir = os.path.join(root, "staging")
         self.entities_dir = os.path.join(root, "entities")
-        for d in (self.data_dir, self.manifest_dir, self.staging_dir, self.entities_dir):
+        self.content_dir = os.path.join(root, "content")
+        for d in (self.data_dir, self.manifest_dir, self.staging_dir,
+                  self.entities_dir, self.content_dir):
             os.makedirs(d, exist_ok=True)
+        # manifest parse cache, keyed by the manifest-dir filename set (see
+        # _all_manifests) — several pipeline steps call manifests() in loops
+        self._manifest_cache: tuple[tuple[str, ...], list[dict]] | None = None
+
+    # -- mode guard ----------------------------------------------------------
+    def claim_mode(self, mode: str) -> None:
+        """Stamp the store with its ingest mode on first use; refuse the other
+        entry point thereafter. Batch (run_checkpointed) tracks consumed input
+        by url-bucket manifests; streaming (ingest_available_now) tracks it in
+        the stream checkpoint — neither bookkeeping can see the other, so
+        mixing them over one store silently double-processes input. Failing
+        loudly here turns a silent-duplication hazard into an immediate error
+        (round-3 review)."""
+        p = os.path.join(self.root, "mode.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                have = json.load(f)["mode"]
+            if have != mode:
+                raise ValueError(
+                    f"store at {self.root!r} was first used in {have!r} mode; "
+                    f"refusing {mode!r} ingest — mixing batch and streaming "
+                    "over one store double-processes input (use a separate "
+                    "store per ingest mode)"
+                )
+            return
+        tmp = os.path.join(self.root, f"_mode-tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump({"mode": mode}, f)
+        os.rename(tmp, p)
 
     # -- manifest ------------------------------------------------------------
     def _all_manifests(self) -> list[dict]:
+        """Parse every manifest JSON, memoized on the directory's filename
+        set. Correct-by-construction invalidation (no mtime-granularity
+        races): manifest files are IMMUTABLE once published (tmp + link(2),
+        never rewritten in place), so the name set fully determines the
+        contents — commits and compactions change the set, which busts the
+        cache; nothing else can change what the files say."""
+        names = tuple(
+            sorted(n for n in os.listdir(self.manifest_dir) if n.endswith(".json"))
+        )
+        if self._manifest_cache is not None and self._manifest_cache[0] == names:
+            return list(self._manifest_cache[1])
         out = []
-        for name in sorted(os.listdir(self.manifest_dir)):
-            if name.endswith(".json"):
-                with open(os.path.join(self.manifest_dir, name)) as f:
-                    out.append(json.load(f))
-        return out
+        for name in names:
+            with open(os.path.join(self.manifest_dir, name)) as f:
+                out.append(json.load(f))
+        self._manifest_cache = (names, out)
+        return list(out)
 
     def manifests(self) -> list[dict]:
         """Live manifests: units superseded by a compaction (listed in another
@@ -72,8 +114,34 @@ class TripleStore:
         return done
 
     # -- write ---------------------------------------------------------------
-    def commit(self, triples: DataFrame, buckets: list[int], metrics: dict) -> str:
-        """Atomically materialize one commit unit: data rename, then manifest."""
+    def _write_content_sidecar(self, unit_id: str, content: DataFrame) -> None:
+        """Per-unit distinct-content_sha index, published with the same
+        tmp+rename pattern as data (the `_tmp-` prefix keeps crash orphans
+        inside vacuum()'s sweep). Probing committed content then costs a scan
+        of these slim sidecars — the O(1)-per-probe semantics of the
+        reference's Redis content cache (initial_pipeline/app.py:70-81) at
+        snapshot-store scale — instead of re-reading every committed unit's
+        triple data per probe."""
+        tmp = os.path.join(self.root, f"_tmp-content-{unit_id}")
+        content.select("content_sha").distinct().write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, os.path.join(self.content_dir, f"unit={unit_id}"))
+
+    def commit(
+        self,
+        triples: DataFrame,
+        buckets: list[int],
+        metrics: dict,
+        content: DataFrame | None = None,
+    ) -> str:
+        """Atomically materialize one commit unit: data rename, content-sha
+        sidecar, then manifest (the manifest is the commit point; anything
+        before it is invisible garbage on a crash).
+
+        ``content``: optional DataFrame with a ``content_sha`` column listing
+        EVERY content hash processed into this unit — pass it when some inputs
+        legitimately yield zero triples (a page with no extractable facts must
+        still register, or ingest-time dedup re-extracts it forever). Defaults
+        to the distinct content_sha of the triples themselves."""
         unit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         final_dir = os.path.join(self.data_dir, f"unit={unit_id}")
         tmp_dir = os.path.join(self.root, f"_tmp-{unit_id}")
@@ -90,8 +158,12 @@ class TripleStore:
             .parquet(tmp_dir)
         )
         os.rename(tmp_dir, final_dir)  # atomic on one FS; Iceberg commit stand-in
+        self._write_content_sidecar(
+            unit_id, content if content is not None else triples
+        )
         manifest = {
             "unit": unit_id,
+            "content_sidecar": True,
             # monotonic commit sequence: millisecond ids can tie (uuid breaks
             # the tie randomly) and clocks can step — snapshot ordering for
             # read_as_of must be COMMIT order, not id order
@@ -185,7 +257,10 @@ class TripleStore:
         import shutil
 
         ms = sorted(self.manifests(), key=lambda m: (m.get("seq", 0), m["unit"]))
-        victims = ms[: len(ms) - keep_last] if keep_last else ms
+        # max(0, ...): keep_last >= len(ms) must select NO victims — a bare
+        # negative slice stop would wrap around and compact the oldest units,
+        # destroying exactly the snapshot boundaries keep_last promises to keep
+        victims = ms[: max(0, len(ms) - keep_last)] if keep_last else ms
         if len(victims) < 2:
             return None
         unit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
@@ -203,6 +278,13 @@ class TripleStore:
             .parquet(tmp_dir)
         )
         os.rename(tmp_dir, final_dir)
+        # merged sidecar from the victims' CONTENT indexes, not their triple
+        # data: sidecars can carry shas of zero-triple inputs, which a
+        # data-derived sidecar would silently forget (breaking ingest dedup)
+        merged_content = self._content_df(spark, victims)
+        if merged_content is None:  # pragma: no cover — victims >= 2 above
+            merged_content = spark.createDataFrame([], "content_sha string")
+        self._write_content_sidecar(unit_id, merged_content)
 
         merged_metrics: dict[str, dict[str, int]] = {}
         for m in victims:
@@ -212,6 +294,7 @@ class TripleStore:
                 agg["violations"] += v.get("violations", 0)
         manifest = {
             "unit": unit_id,
+            "content_sidecar": True,
             "seq": max(m.get("seq", 0) for m in victims),
             "buckets": sorted({b for m in victims for b in m["buckets"]}),
             "metrics": merged_metrics,
@@ -228,15 +311,21 @@ class TripleStore:
         for m in victims:
             shutil.rmtree(os.path.join(self.data_dir, f"unit={m['unit']}"),
                           ignore_errors=True)
+            shutil.rmtree(os.path.join(self.content_dir, f"unit={m['unit']}"),
+                          ignore_errors=True)
         return unit_id
 
-    def vacuum(self, spark: SparkSession) -> dict:
+    def vacuum(self, spark: SparkSession, grace_s: float = 6 * 3600) -> dict:
         """Housekeeping for long-lived stores (Iceberg remove_orphan_files +
         snapshot-expiry counterpart):
 
         - drop crash orphans: ``_tmp-*`` / ``_stage-tmp-*`` / ``_ent-tmp-*``
           under the store root are the tmp halves of interrupted atomic
-          renames — never referenced by any manifest, pure garbage;
+          renames — never referenced by any manifest, pure garbage. Only dirs
+          whose mtime is older than ``grace_s`` are removed (Iceberg's
+          remove_orphan_files older-than cutoff): a vacuum racing an in-flight
+          commit/stage/save_entities must not delete the live tmp dir out from
+          under the writer;
         - compact the entity dictionary: save_entities appends one directory
           per run and known_entities unions them all, so a store that has run
           N times scans N directories; rewrite the distinct union into ONE
@@ -245,16 +334,37 @@ class TripleStore:
         """
         import shutil
 
+        cutoff = time.time() - grace_s
+
+        def _expired(path: str) -> bool:
+            try:
+                return os.path.getmtime(path) < cutoff
+            except OSError:  # racing writer renamed/removed it: not ours
+                return False
+
         removed = 0
         for name in os.listdir(self.root):
             if name.startswith(("_tmp-", "_stage-tmp-", "_ent-tmp-")):
-                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
-                removed += 1
+                p = os.path.join(self.root, name)
+                if _expired(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed += 1
         for name in os.listdir(self.staging_dir):
             if name.startswith("_tmp-"):
-                shutil.rmtree(os.path.join(self.staging_dir, name),
-                              ignore_errors=True)
-                removed += 1
+                p = os.path.join(self.staging_dir, name)
+                if _expired(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed += 1
+
+        # content sidecars whose unit no manifest references (crash between
+        # sidecar publish and manifest publish) are garbage like any orphan
+        live = {m["unit"] for m in self._all_manifests()}
+        for name in os.listdir(self.content_dir):
+            if name.startswith("unit=") and name[len("unit="):] not in live:
+                p = os.path.join(self.content_dir, name)
+                if _expired(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed += 1
 
         ent_dirs = sorted(
             d for d in os.listdir(self.entities_dir) if not d.startswith("_")
@@ -269,14 +379,38 @@ class TripleStore:
             compacted = len(ent_dirs)
         return {"orphans_removed": removed, "entity_dirs_compacted": compacted}
 
-    def known_content(self, spark: SparkSession):
-        """Distinct content_sha of every committed triple, or None on an empty
-        store — the committed-content side of the reference's content-hash
-        cache. Column-pruned scan: only the content_sha column is read."""
-        units = [m["unit"] for m in self.manifests()]
-        if not units:
+    def _content_df(self, spark: SparkSession, ms: list[dict]) -> DataFrame | None:
+        """content_sha rows for the given manifests: the slim per-unit sidecar
+        when one exists, else (legacy pre-sidecar units) a column-pruned scan
+        of the unit's triple data."""
+        side = [m["unit"] for m in ms if m.get("content_sidecar")]
+        legacy = [m["unit"] for m in ms if not m.get("content_sidecar")]
+        dfs = []
+        if side:
+            paths = [os.path.join(self.content_dir, f"unit={u}") for u in side]
+            # explicit schema: a unit whose inputs all deduped away writes an
+            # empty sidecar, and empty parquet dirs defeat schema inference
+            dfs.append(
+                spark.read.schema("content_sha string")
+                .option("basePath", self.content_dir)
+                .parquet(*paths)
+            )
+        if legacy:
+            dfs.append(self._read_units(spark, legacy).select("content_sha"))
+        if not dfs:
             return None
-        return self._read_units(spark, units).select("content_sha").distinct()
+        return dfs[0] if len(dfs) == 1 else dfs[0].unionByName(dfs[1])
+
+    def known_content(self, spark: SparkSession):
+        """Distinct content_sha ever committed (INCLUDING zero-triple inputs
+        registered via commit(content=...)), or None on an empty store — the
+        committed-content side of the reference's content-hash cache. Reads
+        the per-unit sidecars written at commit time: O(units x distinct
+        shas), never a scan over triple data, so probing per micro-batch on a
+        long-running ingest stays cheap as the store grows."""
+        ms = self.manifests()
+        df = self._content_df(spark, ms)
+        return df.distinct() if df is not None else None
 
     # -- staging (phase A of a run: facts persisted before global canon) -------
     def stage(self, facts: DataFrame, key: str, buckets: list[int]) -> None:

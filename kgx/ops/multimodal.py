@@ -219,3 +219,111 @@ def sample_frames(assets: DataFrame, fps: float = 1.0) -> DataFrame:
         .select("asset_id", "payload", "meta")
         .mapInPandas(gen, schema=FRAMES)
     )
+
+
+# --- m01: DuckDB-oracled decode statistics (driver contract entry) -------------------- #
+def _cyclic_decode(payload: bytes, meta: dict) -> np.ndarray:
+    """SQL-mirrorable decoder: pixel i = payload[i mod len(payload)]. Unlike
+    _fake_decode (PCG-seeded noise, not expressible in SQL) this gives the
+    decode -> feature chain a closed form an independent engine can verify,
+    so the multimodal mapInPandas plumbing gets a value-exact oracle row like
+    every other op family."""
+    w, h = meta["width"], meta["height"]
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    idx = np.arange(h * w * 3, dtype=np.int64) % len(buf)
+    return buf[idx].reshape(h, w, 3)
+
+
+def m01_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """documents -> synthetic image assets -> decode_images -> per-image pixel
+    statistics, end-to-end through the real multimodal plumbing (binary
+    payloads, meta struct, Arrow batch decode), with a value-exact DuckDB
+    oracle: payload = UTF-8 bytes of the (ASCII-sanitized) first 256 chars of
+    each document, decoded cyclically to a (8+id%8) x (4+id%4) RGB buffer, so
+    pixel_sum = full_cycles * byte_sum + prefix_byte_sum — pure integer
+    arithmetic both engines compute exactly."""
+    from kgx.ops import load
+
+    d = load(spark, sf, "documents")
+    s = F.regexp_replace(F.substring("text", 1, 256), "[^ -~]", "")
+    assets = (
+        d.filter(F.col("doc_id") < 64)
+        .select(F.col("doc_id").alias("asset_id"), s.alias("s"))
+        .filter(F.length("s") > 0)
+        .select(
+            "asset_id",
+            F.lit("image").alias("kind"),
+            F.encode(F.col("s"), "UTF-8").alias("payload"),
+            F.struct(
+                (F.lit(8) + F.col("asset_id") % 8).cast("int").alias("width"),
+                (F.lit(4) + F.col("asset_id") % 4).cast("int").alias("height"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                F.lit(None).cast("double").alias("duration_s"),
+                F.lit("raw").alias("codec"),
+            ).alias("meta"),
+        )
+    )
+    lens = assets.select(
+        "asset_id", F.octet_length("payload").cast("long").alias("n_bytes")
+    )
+    dec = decode_images(assets, decoder=_cyclic_decode)
+
+    def stats_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "width": [], "height": [], "pixel_sum": []}
+            for row in pdf.itertuples(index=False):
+                buf = np.frombuffer(bytes(row.pixels), dtype=np.uint8)
+                out["asset_id"].append(row.asset_id)
+                out["width"].append(int(row.width))
+                out["height"].append(int(row.height))
+                out["pixel_sum"].append(int(buf.sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    st = dec.mapInPandas(
+        stats_gen, schema="asset_id long, width long, height long, pixel_sum long"
+    )
+    return st.join(F.broadcast(lens), "asset_id").select(
+        F.col("asset_id").alias("doc_id"),
+        "width",
+        "height",
+        "n_bytes",
+        "pixel_sum",
+        F.round(
+            F.col("pixel_sum") / (F.col("width") * F.col("height") * 3), 6
+        ).alias("mean_pixel"),
+    )
+
+
+M01_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_replace(substring(text, 1, 256), '[^ -~]', '', 'g') AS s
+  FROM documents
+  WHERE doc_id < 64
+),
+v AS (
+  SELECT doc_id, s, length(s) AS L,
+         8 + doc_id % 8 AS width, 4 + doc_id % 4 AS height
+  FROM t WHERE length(s) > 0
+),
+x AS (
+  SELECT doc_id, width, height, L,
+         width * height * 3 AS npix,
+         COALESCE(list_sum(list_transform(string_split(s, ''), c -> unicode(c))), 0) AS tot,
+         CASE WHEN (width * height * 3) % L = 0 THEN 0
+              ELSE COALESCE(list_sum(list_transform(
+                       string_split(substring(s, 1, (width * height * 3) % L), ''),
+                       c -> unicode(c))), 0)
+         END AS pre
+  FROM v
+)
+SELECT doc_id, width, height,
+       CAST(L AS BIGINT) AS n_bytes,
+       CAST((npix // L) * tot + pre AS BIGINT) AS pixel_sum,
+       ROUND(CAST((npix // L) * tot + pre AS DOUBLE) / npix, 6) AS mean_pixel
+FROM x
+"""
+
+QUERIES = {
+    "m01_decode_stats": (m01_decode_stats, M01_SQL),
+}

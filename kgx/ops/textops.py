@@ -498,13 +498,21 @@ def t13_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.size(F.split("text", "\\s+")).cast("double").alias("dl")
     )
     n_docs = d.count()  # scalar: one job, O(metadata) on parquet row counts
+    # avgdl as exact-sum / count, NOT avg(): dl values are integer-valued
+    # doubles and sums of integer-valued doubles are EXACT in IEEE754 (below
+    # 2^53) regardless of partial-sum order — so one final division is
+    # bit-identical across engines, where avg()'s engine-specific accumulation
+    # (incremental mean vs sum/count) could drift an ulp and flip the
+    # 6-decimal ROUND at a boundary (the per-corpus-parity caveat class the
+    # t07 docstring documents). The oracle SQL mirrors SUM(dl)/COUNT(*).
+    srow = doclen.agg(F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c")).first()
+    avgdl = float(srow["s"]) / float(srow["c"])
     tf = (
         toks.join(F.broadcast(kw), F.col("tok") == F.col("keyword"))
         .groupBy("keyword", "doc_id")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
     df_ = tf.groupBy("keyword").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    avgdl = float(doclen.agg(F.avg("dl")).first()[0])
     idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     scored = (
         tf.join(F.broadcast(df_), "keyword")
@@ -534,7 +542,7 @@ T13_SQL = f"""
 WITH kw(keyword) AS (VALUES {_KW_LIT}),
 dl AS (SELECT doc_id, len(string_split_regex(text, '\\s+'))::DOUBLE AS dl
        FROM documents),
-stats AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM dl),
+stats AS (SELECT COUNT(*)::DOUBLE AS n, SUM(dl) / COUNT(*) AS avgdl FROM dl),
 tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
         FROM documents),
 tf AS (SELECT keyword, doc_id, COUNT(*)::DOUBLE AS tf

@@ -49,23 +49,85 @@ _REWRITE_SCHEMA = T.StructType(
 BROADCAST_MAPPING_MAX = 2_000_000  # dictionary rows broadcastable to workers
 
 
+def _rewrite_obj(obj: str, mapping) -> str:
+    """Replace proponent organization_name values through ``mapping`` (any
+    dict-like with __contains__/__getitem__) and re-emit canonical JSON."""
+    props = json.loads(obj)
+    for p in props:
+        name = p.get("organization_name")
+        if name in mapping:
+            p["organization_name"] = mapping[name]
+    return kernel.canonical_json(props)
+
+
 def _rewrite_gen(mapping_bc):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mapping = mapping_bc.value
         for pdf in batches:
-            objs = []
-            for obj in pdf["obj"]:
-                props = json.loads(obj)
-                for p in props:
-                    name = p.get("organization_name")
-                    if name in mapping:
-                        p["organization_name"] = mapping[name]
-                objs.append(kernel.canonical_json(props))
+            objs = [_rewrite_obj(obj, mapping) for obj in pdf["obj"]]
             pdf = pdf[["url", "warc_ts", "content_sha", "pred"]].copy()
             pdf["obj"] = objs
             yield pdf
 
     return gen
+
+
+def _rewrite_zip_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Join-path rewrite: each row carries its OWN (surfaces -> reps) pairs,
+    delivered by the relational join — no driver dict of any size."""
+    for pdf in batches:
+        objs = []
+        for obj, surfaces, reps in zip(pdf["obj"], pdf["surfaces"], pdf["_reps"]):
+            if reps is None or len(reps) == 0:
+                objs.append(_rewrite_obj(obj, {}))
+            else:
+                objs.append(_rewrite_obj(obj, dict(zip(list(surfaces), list(reps)))))
+        out = pdf[["url", "warc_ts", "content_sha", "pred"]].copy()
+        out["obj"] = objs
+        yield out
+
+
+def _rewrite_join(props: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Entity rewrite ABOVE the broadcast cap: fully relational surface ->
+    rep resolution, O(mentions) shuffles, no driver-side dictionary.
+
+    The generalization of the reference's multi-source proponent
+    canonicalization (ground_truth_project_detail_formatter.py:138-168) that
+    web scale forces: a 10^12-document corpus can carry an entity dictionary
+    far past what a python-dict broadcast tolerates, and the engine must
+    degrade to a working (join-shaped) path, not an error.
+
+    Shape: posexplode the per-fact ``surfaces`` side channel (emitted by the
+    extractor precisely so the JSON payload never needs parsing in a join),
+    shuffle-join surface -> rep, reassemble the per-row rep array ordered by
+    position, and apply the substitution inside ONE Arrow pass where each row
+    zips its own (surfaces, reps) into a local dict. Byte-equal to the
+    broadcast path (asserted in tests); costs two O(mentions) shuffles + one
+    O(rows) join that the broadcast path avoids, which is why broadcast stays
+    the default below the cap."""
+    keyed = (
+        props.select("url", "warc_ts", "content_sha", "pred", "obj", "surfaces")
+        # localCheckpoint pins partitions so the id is stable across the
+        # multiple consumptions below (monotonically_increasing_id is only
+        # deterministic for a fixed partition layout)
+        .withColumn("_rid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    ex = keyed.select("_rid", F.posexplode("surfaces").alias("_pos", "surface"))
+    diff = mapping.filter(F.col("surface") != F.col("rep"))
+    resolved = ex.join(diff, "surface", "left").select(
+        "_rid", "_pos", F.coalesce("rep", "surface").alias("rep")
+    )
+    reps = (
+        resolved.groupBy("_rid")
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "rep"))).alias("pr"))
+        .select("_rid", F.transform("pr", lambda x: x["rep"]).alias("_reps"))
+    )
+    return (
+        keyed.join(reps, "_rid", "left")
+        .select("url", "warc_ts", "content_sha", "pred", "obj", "surfaces", "_reps")
+        .mapInPandas(_rewrite_zip_gen, schema=_REWRITE_SCHEMA)
+    )
 
 
 def canonicalize_proponents(facts: DataFrame, mapping: DataFrame | None = None) -> DataFrame:
@@ -77,31 +139,37 @@ def canonicalize_proponents(facts: DataFrame, mapping: DataFrame | None = None) 
     (caught by verification: 2-unit run disagreed with the one-shot run on
     ~2.6%% of proponent triples until the mapping was hoisted).
 
-    The rewrite ships the mapping as a broadcast python dict into an Arrow
-    batch pass — zero shuffles (the earlier explode -> join -> groupBy-collect
-    shape shuffled every proponent fact twice and was a measurable non-scaling
-    cost). Dictionaries beyond BROADCAST_MAPPING_MAX rows would need the join
-    path; entity dictionaries are vastly smaller than the corpus, so the
-    broadcast regime is the norm (and the guard makes the limit explicit)."""
+    Two physical regimes, byte-equal output (asserted in tests):
+
+    - dictionary <= BROADCAST_MAPPING_MAX rows (the norm — entity dictionaries
+      are vastly smaller than the corpus): ship it as a broadcast python dict
+      into an Arrow batch pass — zero shuffles (the explode -> join ->
+      groupBy-collect shape shuffles every proponent fact twice and was a
+      measurable non-scaling cost when used unconditionally);
+    - above the cap: the relational join rewrite (_rewrite_join) — slower but
+      scales to any dictionary size instead of raising (round-3 review: the
+      engine's one hard scale cliff was an error message)."""
     props = facts.filter(F.col("pred") == "project_proponents")
     others = facts.filter(F.col("pred") != "project_proponents").select(
         "url", "warc_ts", "content_sha", "pred", "obj"
     )
     if mapping is None:
         mentions = props.select(F.explode("surfaces").alias("surface"))
-        mapping = canon.canonical_mapping(mentions)
+        # localCheckpoint: the size probe and the chosen rewrite are separate
+        # actions that would otherwise each re-run the whole LSH+CC pipeline
+        mapping = canon.canonical_mapping(mentions).localCheckpoint()
 
     rows = mapping.limit(BROADCAST_MAPPING_MAX + 1).collect()
     if len(rows) > BROADCAST_MAPPING_MAX:
-        raise ValueError(
-            "entity dictionary exceeds broadcast limit; wire the join-based "
-            "rewrite for this corpus"
-        )
-    mapping_dict = {r["surface"]: r["rep"] for r in rows if r["surface"] != r["rep"]}
-    bc = facts.sparkSession.sparkContext.broadcast(mapping_dict)
-    rewritten = props.select(
-        "url", "warc_ts", "content_sha", "pred", "obj"
-    ).mapInPandas(_rewrite_gen(bc), schema=_REWRITE_SCHEMA)
+        rewritten = _rewrite_join(props, mapping)
+    else:
+        mapping_dict = {
+            r["surface"]: r["rep"] for r in rows if r["surface"] != r["rep"]
+        }
+        bc = facts.sparkSession.sparkContext.broadcast(mapping_dict)
+        rewritten = props.select(
+            "url", "warc_ts", "content_sha", "pred", "obj"
+        ).mapInPandas(_rewrite_gen(bc), schema=_REWRITE_SCHEMA)
     return others.unionByName(rewritten)
 
 
@@ -179,6 +247,7 @@ def run_checkpointed(
     Each commit is atomic with per-partition lineage + counters
     (BASELINE.json:north_rule); readers never see a partial unit.
     """
+    store.claim_mode("batch")
     pending, todo = store.pending(pages)
 
     # phase A: stage pending buckets that are not already staged or committed

@@ -13,9 +13,10 @@ foreachBatch is the exactly-once seam: the store commit is atomic, and the
 stream checkpoint directory records consumed files.
 
 NB: streaming commits use buckets=[] — dedup bookkeeping lives in the stream
-checkpoint, not the bucket manifest. Use a store either in streaming mode or
-in batch run_checkpointed mode; mixing both over the same input would
-double-process (the batch resume filter can't see stream-consumed files).
+checkpoint, not the bucket manifest. A store is EITHER streaming or batch:
+the first entry point stamps the store's mode and the other one raises
+(TripleStore.claim_mode) — mixing both over the same input double-processes
+because the batch resume filter can't see stream-consumed files.
 """
 
 from __future__ import annotations
@@ -38,14 +39,21 @@ def ingest_available_now(
     URL, or reposted in a later wave — is skipped BEFORE the extraction
     kernel runs, and within a batch only the min-url copy of each distinct
     content survives. The committed-content check is a left anti join against
-    the store's distinct content_sha column (column-pruned parquet scan of
-    the triple store — O(store metadata + one column), not O(triples bytes)).
+    the store's per-unit content-sha SIDECARS (written at commit time), so
+    each micro-batch probe costs O(units x distinct shas) over slim one-column
+    parquet — never a rescan of the triple data, which on a long-running
+    ingest grew quadratic-ish (round-3 review). Every surviving page's sha is
+    registered at commit via commit(content=...), INCLUDING pages that yield
+    zero facts — deriving the known set from triples alone re-extracted
+    zero-fact pages on every later wave.
     """
+    store.claim_mode("streaming")
     committed: list[str] = []
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.take(1):
             return
+        batch_shas = None
         if dedup_content:
             from pyspark.sql import Window
 
@@ -60,6 +68,7 @@ def ingest_available_now(
             known = store.known_content(spark)
             if known is not None:
                 keyed = keyed.join(known, "content_sha", "left_anti")
+            batch_shas = keyed.select("content_sha")
             batch_df = keyed.drop("content_sha")
             if not batch_df.take(1):
                 return
@@ -72,7 +81,9 @@ def ingest_available_now(
         store.save_entities(mapping)
         final = pipeline.canonicalize_proponents(facts, mapping)
         flagged, metrics = extract.validate_triples(pipeline._to_triples(final))
-        unit = store.commit(flagged.drop("valid"), buckets=[], metrics=metrics)
+        unit = store.commit(
+            flagged.drop("valid"), buckets=[], metrics=metrics, content=batch_shas
+        )
         committed.append(unit)
 
     q = (

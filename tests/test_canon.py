@@ -132,6 +132,35 @@ def test_dedup_clusters_exact_and_near(spark, shingle_k):
     assert len({labels[1], labels[4], labels[5]}) == 3
 
 
+def test_distributed_cc_long_chain_converges(spark, monkeypatch):
+    """Diameter-60 chain forced down the distributed path: star contraction
+    must merge it into ONE component well inside the round budget — the exact
+    shape (serially-mutated boilerplate A≈B≈C≈…) that silently split under
+    the old min-label propagation once diameter exceeded max_iter."""
+    n = 61
+    nodes = spark.createDataFrame([(f"c{i:03d}",) for i in range(n)], "surface string")
+    chain = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(n - 1)]
+    edges = spark.createDataFrame(chain, "a string, b string")
+    labels = {r.surface: r.component for r in canon._distributed_cc(nodes, edges).collect()}
+    assert len(set(labels.values())) == 1
+    # and through the public entry point with the driver path disabled
+    monkeypatch.setattr(canon, "DRIVER_CC_MAX_EDGES", 0)
+    labels2 = {
+        r.surface: r.component
+        for r in canon.connected_components(nodes, edges).collect()
+    }
+    assert len(set(labels2.values())) == 1
+    assert all(c.startswith("h:") for c in labels2.values())
+
+
+def test_distributed_cc_nonconvergence_raises(spark):
+    """An exhausted round budget must raise, never return split components."""
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "surface string")
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], "a string, b string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        canon._distributed_cc(nodes, edges, max_iter=0)
+
+
 def test_driver_and_distributed_cc_agree(spark):
     import random
 

@@ -121,3 +121,37 @@ def test_injected_model_loads_once_per_worker_and_flows(spark, tmp_path):
     # total construction count is bounded by workers, not by groups/batches
     assert len(pids) == len(set(pids))
     assert len(pids) < n_groups
+
+
+def test_default_factory_selects_real_model_when_importable(monkeypatch):
+    """The import-gated seam's REAL branch, exercised without network/weights:
+    inject a stub sentence_transformers module and the default factory must
+    pick it (with the reference's model name, context_extractor.py:33) and
+    plumb whole batches through .encode — proving an install upgrades every
+    call site with no plumbing change."""
+    import sys
+    import types
+
+    from kgx import embedder
+
+    class FakeST:
+        def __init__(self, name):
+            self.name = name
+            self.batches = []
+
+        def encode(self, texts):
+            self.batches.append(list(texts))
+            return [[float(len(t)), 1.0] for t in texts]
+
+    mod = types.ModuleType("sentence_transformers")
+    mod.SentenceTransformer = FakeST
+    monkeypatch.setitem(sys.modules, "sentence_transformers", mod)
+    embedder._CACHE.clear()
+    try:
+        model = embedder._default_factory()
+        assert isinstance(model, FakeST)
+        assert model.name == "sentence-transformers/all-MiniLM-L6-v2"
+        out = embedder.embed_batch(["ab", "abcd"], factory=embedder._default_factory)
+        assert out == [[2.0, 1.0], [4.0, 1.0]]
+    finally:
+        embedder._CACHE.clear()

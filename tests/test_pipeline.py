@@ -175,6 +175,27 @@ def test_triples_pr_vs_golden(spark, pages_df, pages_rows):
     assert recall >= 0.95, f"recall {recall}"
 
 
+def test_join_rewrite_byte_equal_to_broadcast(spark, pages_df, monkeypatch):
+    """Entity dictionaries above BROADCAST_MAPPING_MAX take the relational
+    join rewrite; its triples must be byte-equal to the broadcast path (the
+    cap is a physical-strategy switch, never a semantics switch)."""
+    expected = sorted(tuple(r) for r in pipeline.build_triples(spark, pages_df).collect())
+    monkeypatch.setattr(pipeline, "BROADCAST_MAPPING_MAX", 0)
+    got = sorted(tuple(r) for r in pipeline.build_triples(spark, pages_df).collect())
+    assert got == expected
+    # the corpus genuinely exercises the rewrite: canonicalization changed
+    # at least one proponent payload vs the raw extraction
+    raw = sorted(
+        tuple(r)
+        for r in pipeline._to_triples(
+            pipeline.extract_stage(spark, pages_df).select(
+                "url", "warc_ts", "content_sha", "pred", "obj"
+            )
+        ).collect()
+    )
+    assert raw != expected
+
+
 def test_fused_equals_relational(spark, pages_df):
     """The one-Arrow-pass hot path and the operator-by-operator relational
     decomposition must produce identical triples."""

@@ -166,6 +166,14 @@ def test_compact_keep_last_preserves_recent_boundaries(spark, small_pages, tmp_p
     asof_newest_before = _triple_set(store.read_as_of(spark, newest))
     asof_prev_before = _triple_set(store.read_as_of(spark, ordered[-2]))
 
+    # keep_last >= live units: nothing qualifies — compact must be a no-op,
+    # not wrap around and merge the OLDEST units (negative-slice regression)
+    n_live = len(store.manifests())
+    assert store.compact(spark, keep_last=n_live) is None
+    assert store.compact(spark, keep_last=n_live + 5) is None
+    assert len(store.manifests()) == n_live
+    assert _triple_set(store.read_as_of(spark, ordered[0])) is not None
+
     merged = store.compact(spark, keep_last=1)
     assert merged is not None
     live = [m["unit"] for m in sorted(store.manifests(), key=lambda m: m["seq"])]
@@ -194,9 +202,14 @@ def test_vacuum_removes_orphans_and_compacts_entities(spark, small_pages, tmp_pa
     before_entities = {tuple(r) for r in store.known_entities(spark).collect()}
     before_triples = _triple_set(store.read(spark))
 
-    stats = store.vacuum(spark)
+    # default grace window protects freshly-created tmp dirs (a racing writer)
+    stats0 = store.vacuum(spark)
+    assert stats0["orphans_removed"] == 0
+    assert stats0["entity_dirs_compacted"] >= 2
+    assert os.path.isdir(os.path.join(store.root, "_tmp-dead1"))
+
+    stats = store.vacuum(spark, grace_s=0.0)
     assert stats["orphans_removed"] >= 3
-    assert stats["entity_dirs_compacted"] >= 2
 
     assert {tuple(r) for r in store.known_entities(spark).collect()} == before_entities
     assert _triple_set(store.read(spark)) == before_triples
@@ -204,3 +217,36 @@ def test_vacuum_removes_orphans_and_compacts_entities(spark, small_pages, tmp_pa
     assert not any(n.startswith("_tmp-") for n in os.listdir(store.root))
     # resume bookkeeping untouched: a re-run still commits nothing
     assert pipeline.run_checkpointed(spark, small_pages, store, groups=2) == []
+
+
+def test_manifest_cache_memoizes_and_invalidates(spark, small_pages, tmp_path):
+    """manifests() is memoized on the manifest filename set: repeated calls
+    skip re-parsing (manifest files are immutable once published), and any
+    commit/compact changes the name set, busting the cache immediately."""
+    import json
+    import os
+
+    store = TripleStore(str(tmp_path / "mc"), n_buckets=4)
+    tri = pipeline.build_triples(spark, small_pages.limit(5))
+    store.commit(tri, buckets=[0], metrics={})
+    first = store.manifests()
+    assert len(first) == 1
+
+    # same name set -> served from cache: an in-place content change (which
+    # the store never does) is invisible, proving no re-read happened
+    name = next(n for n in os.listdir(store.manifest_dir) if n.endswith(".json"))
+    p = os.path.join(store.manifest_dir, name)
+    doctored = dict(json.load(open(p)))
+    doctored["metrics"] = {"doctored": {"rows": 1}}
+    with open(p, "w") as f:
+        json.dump(doctored, f)
+    assert store.manifests() == first
+
+    # a new commit changes the name set -> cache busts, new unit visible
+    store.commit(tri, buckets=[1], metrics={})
+    after = store.manifests()
+    assert len(after) == 2
+    # callers get copies: mutating a returned list never poisons the cache
+    got = store.manifests()
+    got.clear()
+    assert len(store.manifests()) == 2

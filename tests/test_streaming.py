@@ -219,3 +219,83 @@ def test_ingest_dedup_content_skips_mirrors_and_reposts(spark, tmp_path):
     assert kernel.page_id_from_url(repost["url"]) not in subj2
     for p in pages[6:]:
         assert kernel.page_id_from_url(p["url"]) in subj2
+
+
+def test_zero_fact_pages_register_in_content_index(spark, tmp_path):
+    """A page that yields ZERO facts must still register its content_sha at
+    commit (via commit(content=...)): deriving the known set from triples
+    alone re-extracted such pages on every later wave (round-3 review)."""
+    import hashlib
+
+    pages = fixtures.gen_pages(4)
+    blank_html = b"<html><body><p>nothing extractable here</p></body></html>"
+    blank = {**pages[0], "url": "https://example.org/proj/7777",
+             "html": blank_html, "text": "nothing extractable here"}
+    pages_dir = str(tmp_path / "inbox")
+    store = TripleStore(str(tmp_path / "store_zf"), n_buckets=4)
+
+    _write_pages(pages[:3] + [blank], f"{pages_dir}/part-0.parquet")
+    units = streaming.ingest_available_now(spark, pages_dir, store,
+                                           dedup_content=True)
+    assert units
+    known = {r.content_sha for r in store.known_content(spark).collect()}
+    assert hashlib.sha256(blank_html).hexdigest() in known
+    # no triples exist for the blank page — the sidecar is the only record
+    from kgx import kernel
+
+    subs = {r.subj for r in store.read(spark).select("subj").distinct().collect()}
+    assert kernel.page_id_from_url(blank["url"]) not in subs
+
+    # a later wave of ONLY already-known content (the blank page mirrored at a
+    # new url) dedups away entirely: no commit, no re-extraction
+    _write_pages([{**blank, "url": "https://mirror.example/proj/7778"}],
+                 f"{pages_dir}/part-1.parquet")
+    units2 = streaming.ingest_available_now(spark, pages_dir, store,
+                                            dedup_content=True)
+    assert units2 == []
+
+
+def test_known_content_reads_sidecars_not_data(spark, tmp_path):
+    """known_content must be answerable from the per-unit sidecars alone —
+    destroy every data file and the committed-content set is unchanged."""
+    import shutil
+
+    pages = fixtures.gen_pages(8)
+    pages_dir = str(tmp_path / "inbox")
+    _write_pages(pages, f"{pages_dir}/part-0.parquet")
+    store = TripleStore(str(tmp_path / "store_sc"), n_buckets=4)
+    streaming.ingest_available_now(spark, pages_dir, store, dedup_content=True)
+
+    before = {r.content_sha for r in store.known_content(spark).collect()}
+    assert before
+    shutil.rmtree(os.path.join(store.root, "data"))
+    os.makedirs(os.path.join(store.root, "data"))
+    after = {r.content_sha for r in store.known_content(spark).collect()}
+    assert after == before
+
+
+def test_mode_guard_blocks_mixed_ingest(spark, tmp_path):
+    """A store stamped by one ingest mode refuses the other entry point —
+    batch and streaming bookkeeping can't see each other, so mixing them
+    double-processes input (must fail loudly, not duplicate silently)."""
+    import pandas as pd
+    import pytest
+
+    from kgx import pipeline
+
+    pages = fixtures.gen_pages(6)
+    pages_df = spark.createDataFrame(pd.DataFrame(pages))
+    pages_dir = str(tmp_path / "inbox")
+    _write_pages(pages, f"{pages_dir}/part-0.parquet")
+
+    # batch first -> streaming refused
+    b = TripleStore(str(tmp_path / "store_b"), n_buckets=4)
+    pipeline.run_checkpointed(spark, pages_df, b, groups=2)
+    with pytest.raises(ValueError, match="'batch' mode; refusing 'streaming'"):
+        streaming.ingest_available_now(spark, pages_dir, b)
+
+    # streaming first -> batch refused
+    s = TripleStore(str(tmp_path / "store_s"), n_buckets=4)
+    streaming.ingest_available_now(spark, pages_dir, s)
+    with pytest.raises(ValueError, match="'streaming' mode; refusing 'batch'"):
+        pipeline.run_checkpointed(spark, pages_df, s, groups=2)
