@@ -416,7 +416,18 @@ def ivf_query(
 ) -> DataFrame:
     """Probe the n_probe nearest cells per query, exact-cosine re-rank the
     probed members. O(queries x K) probe + O(probed members) re-rank — the
-    amortized per-query half of the index."""
+    amortized per-query half of the index.
+
+    Picking an operating point (measured 100k-vector curve in
+    BENCH/BASELINE.md round 4, raw data BENCH/ann_sweep.json): prefer MORE,
+    SMALLER cells — at a fixed probed fraction of the space, finer
+    quantization improves recall AND latency (8/32 cells: recall 1.0 in
+    1.83 s vs 2/8 cells: 0.70 in 2.14 s on the same corpus), and build cost
+    does not grow. Then set n_probe for the recall target: at k_cells=32,
+    probing 1/16 of the space gave ~0.63 recall@3, 1/8 gave ~0.90, 1/4 gave
+    1.00 — on an adversarially unclustered corpus (random directions), so
+    real embedding corpora do better. The module defaults (8 cells, 2
+    probes) are sized for the tiny driver-contract tables, not for scale."""
     spark = q.sparkSession
     cent_df = spark.createDataFrame(cents, "cidx int, cent array<long>")
     qq = q.select("query_id", "qv", _quant_shifted("qv").alias("vq"))
