@@ -250,3 +250,24 @@ def test_manifest_cache_memoizes_and_invalidates(spark, small_pages, tmp_path):
     got = store.manifests()
     got.clear()
     assert len(store.manifests()) == 2
+
+
+def test_vacuum_sweeps_unreferenced_content_sidecars(spark, small_pages, tmp_path):
+    """A content sidecar whose unit no manifest references (crash between
+    sidecar publish and manifest publish) is orphan garbage; live sidecars
+    survive and known_content is unchanged."""
+    import os
+
+    store = TripleStore(str(tmp_path / "vc"), n_buckets=4)
+    pipeline.run_checkpointed(spark, small_pages, store, groups=2)
+    os.makedirs(os.path.join(store.content_dir, "unit=deadbeef"), exist_ok=True)
+    before = {r.content_sha for r in store.known_content(spark).collect()}
+    assert before
+
+    # grace window protects a possibly-in-flight commit's fresh sidecar
+    assert store.vacuum(spark)["orphans_removed"] == 0
+    assert os.path.isdir(os.path.join(store.content_dir, "unit=deadbeef"))
+
+    assert store.vacuum(spark, grace_s=0.0)["orphans_removed"] >= 1
+    assert not os.path.exists(os.path.join(store.content_dir, "unit=deadbeef"))
+    assert {r.content_sha for r in store.known_content(spark).collect()} == before
