@@ -60,9 +60,8 @@ class TripleStore:
         loudly here turns a silent-duplication hazard into an immediate error
         (round-3 review)."""
         p = os.path.join(self.root, "mode.json")
-        if os.path.exists(p):
-            with open(p) as f:
-                have = json.load(f)["mode"]
+
+        def _check(have: str) -> None:
             if have != mode:
                 raise ValueError(
                     f"store at {self.root!r} was first used in {have!r} mode; "
@@ -70,11 +69,24 @@ class TripleStore:
                     "over one store double-processes input (use a separate "
                     "store per ingest mode)"
                 )
+
+        if os.path.exists(p):
+            with open(p) as f:
+                _check(json.load(f)["mode"])
             return
-        tmp = os.path.join(self.root, f"_mode-tmp-{uuid.uuid4().hex[:8]}")
+        # exclusive publish via link(2), same idiom as _write_manifest: a
+        # last-wins rename would let two concurrent FIRST claimants in
+        # different modes both succeed, silently defeating this guard
+        tmp = os.path.join(self.root, f"_tmp-mode-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
             json.dump({"mode": mode}, f)
-        os.rename(tmp, p)
+        try:
+            os.link(tmp, p)
+        except FileExistsError:
+            with open(p) as f:
+                _check(json.load(f)["mode"])
+        finally:
+            os.remove(tmp)
 
     # -- manifest ------------------------------------------------------------
     def _all_manifests(self) -> list[dict]:
@@ -320,12 +332,14 @@ class TripleStore:
         snapshot-expiry counterpart):
 
         - drop crash orphans: ``_tmp-*`` / ``_stage-tmp-*`` / ``_ent-tmp-*``
-          under the store root are the tmp halves of interrupted atomic
-          renames — never referenced by any manifest, pure garbage. Only dirs
+          under the store root (the tmp halves of interrupted atomic renames)
+          plus ``data/unit=*`` and ``content/unit=*`` dirs referenced by no
+          manifest (a crash AFTER the data rename but BEFORE the manifest
+          publish — the commit point — or mid-GC in compact). Only paths
           whose mtime is older than ``grace_s`` are removed (Iceberg's
-          remove_orphan_files older-than cutoff): a vacuum racing an in-flight
-          commit/stage/save_entities must not delete the live tmp dir out from
-          under the writer;
+          remove_orphan_files older-than cutoff): a vacuum racing an
+          in-flight commit/stage/save_entities must not delete live state out
+          from under the writer;
         - compact the entity dictionary: save_entities appends one directory
           per run and known_entities unions them all, so a store that has run
           N times scans N directories; rewrite the distinct union into ONE
@@ -342,29 +356,43 @@ class TripleStore:
             except OSError:  # racing writer renamed/removed it: not ours
                 return False
 
+        def _rm(path: str) -> None:
+            # tmp orphans can be files (claim_mode) as well as directories
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+
         removed = 0
         for name in os.listdir(self.root):
             if name.startswith(("_tmp-", "_stage-tmp-", "_ent-tmp-")):
                 p = os.path.join(self.root, name)
                 if _expired(p):
-                    shutil.rmtree(p, ignore_errors=True)
+                    _rm(p)
                     removed += 1
         for name in os.listdir(self.staging_dir):
             if name.startswith("_tmp-"):
                 p = os.path.join(self.staging_dir, name)
                 if _expired(p):
-                    shutil.rmtree(p, ignore_errors=True)
+                    _rm(p)
                     removed += 1
 
-        # content sidecars whose unit no manifest references (crash between
-        # sidecar publish and manifest publish) are garbage like any orphan
+        # data and content dirs whose unit no manifest references are garbage:
+        # a crash between the data rename / sidecar publish and the manifest
+        # publish (the commit point) leaves them behind, as does a crash
+        # mid-GC in compact(). The grace window protects an in-flight commit
+        # that has renamed data but not yet published its manifest.
         live = {m["unit"] for m in self._all_manifests()}
-        for name in os.listdir(self.content_dir):
-            if name.startswith("unit=") and name[len("unit="):] not in live:
-                p = os.path.join(self.content_dir, name)
-                if _expired(p):
-                    shutil.rmtree(p, ignore_errors=True)
-                    removed += 1
+        for d in (self.data_dir, self.content_dir):
+            for name in os.listdir(d):
+                if name.startswith("unit=") and name[len("unit="):] not in live:
+                    p = os.path.join(d, name)
+                    if _expired(p):
+                        shutil.rmtree(p, ignore_errors=True)
+                        removed += 1
 
         ent_dirs = sorted(
             d for d in os.listdir(self.entities_dir) if not d.startswith("_")
@@ -389,11 +417,16 @@ class TripleStore:
         if side:
             paths = [os.path.join(self.content_dir, f"unit={u}") for u in side]
             # explicit schema: a unit whose inputs all deduped away writes an
-            # empty sidecar, and empty parquet dirs defeat schema inference
+            # empty sidecar, and empty parquet dirs defeat schema inference.
+            # drop the discovered 'unit' partition column (a user schema does
+            # NOT suppress partition discovery under basePath): leaving it in
+            # breaks unionByName with the one-column legacy branch AND makes
+            # distinct() dedup per (sha, unit) instead of per sha
             dfs.append(
                 spark.read.schema("content_sha string")
                 .option("basePath", self.content_dir)
                 .parquet(*paths)
+                .drop("unit")
             )
         if legacy:
             dfs.append(self._read_units(spark, legacy).select("content_sha"))

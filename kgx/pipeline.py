@@ -47,6 +47,7 @@ _REWRITE_SCHEMA = T.StructType(
 
 
 BROADCAST_MAPPING_MAX = 2_000_000  # dictionary rows broadcastable to workers
+BROADCAST_MAPPING_MAX_BYTES = 256 * 1024 * 1024  # byte budget for the same dict
 
 
 def _rewrite_obj(obj: str, mapping) -> str:
@@ -159,10 +160,29 @@ def canonicalize_proponents(facts: DataFrame, mapping: DataFrame | None = None) 
         # actions that would otherwise each re-run the whole LSH+CC pipeline
         mapping = canon.canonical_mapping(mentions).localCheckpoint()
 
-    rows = mapping.limit(BROADCAST_MAPPING_MAX + 1).collect()
-    if len(rows) > BROADCAST_MAPPING_MAX:
+    # regime probe runs EXECUTOR-SIDE (count + utf-8 byte budget over the
+    # bounded limit slice) before any collect: a dictionary over either
+    # budget must route to the join path WITHOUT first being pulled onto the
+    # driver — the cap+1 collect would itself be the OOM the guard exists to
+    # prevent (the same collect-as-probe hazard fixed in connected_components)
+    stats = (
+        mapping.limit(BROADCAST_MAPPING_MAX + 1)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.octet_length("surface") + F.octet_length("rep")),
+                F.lit(0),
+            ).alias("nbytes"),
+        )
+        .first()
+    )
+    if (
+        stats["n"] > BROADCAST_MAPPING_MAX
+        or stats["nbytes"] > BROADCAST_MAPPING_MAX_BYTES
+    ):
         rewritten = _rewrite_join(props, mapping)
     else:
+        rows = mapping.collect()
         mapping_dict = {
             r["surface"]: r["rep"] for r in rows if r["surface"] != r["rep"]
         }

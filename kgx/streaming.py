@@ -68,6 +68,11 @@ def ingest_available_now(
             known = store.known_content(spark)
             if known is not None:
                 keyed = keyed.join(known, "content_sha", "left_anti")
+            # pin ONE execution of the dedup subplan (sha2 over full html +
+            # window + anti-join): the emptiness probe, the extraction chain,
+            # and the commit-time sidecar write below would otherwise each
+            # re-run it per micro-batch
+            keyed = keyed.localCheckpoint()
             batch_shas = keyed.select("content_sha")
             batch_df = keyed.drop("content_sha")
             if not batch_df.take(1):

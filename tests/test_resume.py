@@ -271,3 +271,48 @@ def test_vacuum_sweeps_unreferenced_content_sidecars(spark, small_pages, tmp_pat
     assert store.vacuum(spark, grace_s=0.0)["orphans_removed"] >= 1
     assert not os.path.exists(os.path.join(store.content_dir, "unit=deadbeef"))
     assert {r.content_sha for r in store.known_content(spark).collect()} == before
+
+
+def test_known_content_mixed_legacy_and_sidecar_units(spark, small_pages, tmp_path):
+    """A store upgraded mid-life has pre-sidecar units (no 'content_sidecar'
+    manifest key, no sidecar dir) next to new ones: known_content must union
+    the legacy unit's data-derived shas with the new unit's sidecar — one
+    column, one row per sha (the sidecar read must not leak the discovered
+    'unit' partition column into the union)."""
+    import json
+    import os
+    import shutil
+
+    store = TripleStore(str(tmp_path / "mix"), n_buckets=4)
+    tri = pipeline.build_triples(spark, small_pages)
+    half = small_pages.limit(20)
+    store.commit(pipeline.build_triples(spark, half), buckets=[0], metrics={})
+    store.commit(tri, buckets=[1], metrics={})
+
+    # doctor the FIRST manifest into a legacy manifest + drop its sidecar
+    ms = sorted(store.manifests(), key=lambda m: m["seq"])
+    legacy_unit = ms[0]["unit"]
+    name = next(
+        n for n in os.listdir(store.manifest_dir) if legacy_unit in n
+    )
+    p = os.path.join(store.manifest_dir, name)
+    doc = json.load(open(p))
+    del doc["content_sidecar"]
+    with open(p + ".tmp", "w") as f:
+        json.dump(doc, f)
+    os.rename(p + ".tmp", p)
+    # in-place doctoring defeats the original handle's manifest cache (same
+    # name set), so read through a FRESH handle — stores never rewrite
+    # manifests; this simulates a store created by the pre-sidecar code
+    shutil.rmtree(os.path.join(store.content_dir, f"unit={legacy_unit}"))
+
+    fresh = TripleStore(store.root, n_buckets=4)
+    got = fresh.known_content(spark)
+    assert got.columns == ["content_sha"]
+    rows = got.collect()
+    want = {
+        r.content_sha
+        for r in fresh.read(spark).select("content_sha").distinct().collect()
+    }
+    assert {r.content_sha for r in rows} == want
+    assert len(rows) == len(want)  # distinct per sha, not per (sha, unit)
