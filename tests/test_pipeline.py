@@ -260,3 +260,67 @@ def test_fused_extract_guards_unsplittable_input(spark, tmp_path):
     cores = spark.sparkContext.defaultParallelism
     out = extract.extract_facts_fused(pages)
     assert out.rdd.getNumPartitions() >= max(2, cores // 2)
+
+
+def test_join_rewrite_edge_shapes(spark, monkeypatch):
+    """_rewrite_join on crafted shapes the fixture corpus may not cover:
+    duplicate surfaces within one fact, an empty surfaces array (posexplode
+    drops the row; the left join must bring it back unrewritten), multi-byte
+    unicode surfaces, and a non-proponent row passing through — byte-equal
+    to the broadcast regime on all of them."""
+    from datetime import datetime
+
+    from kgx.schema import FACTS
+
+    def obj_of(names):
+        return kernel.canonical_json([{"organization_name": n} for n in names])
+
+    ts = datetime(2025, 1, 1)
+    rows = [
+        ("u1", ts, "s1", "project_proponents",
+         obj_of(["Acme Corp", "ACME CORP", "Acme Corp"]), None,
+         ["Acme Corp", "ACME CORP", "Acme Corp"]),
+        ("u2", ts, "s2", "project_proponents", obj_of([]), None, []),
+        ("u3", ts, "s3", "project_proponents",
+         obj_of(["Ünïcode Äß GmbH"]), None, ["Ünïcode Äß GmbH"]),
+        ("u4", ts, "s4", "project_location", '{"country": "X"}', None, None),
+    ]
+    facts = spark.createDataFrame(rows, FACTS)
+    mapping = spark.createDataFrame(
+        [("ACME CORP", "Acme Corp"), ("Acme Corp", "Acme Corp"),
+         ("Ünïcode Äß GmbH", "Ünïcode Äß GmbH e.V.")],
+        "surface string, rep string",
+    )
+    expected = sorted(
+        tuple(r) for r in pipeline.canonicalize_proponents(facts, mapping).collect()
+    )
+    monkeypatch.setattr(pipeline, "BROADCAST_MAPPING_MAX", 0)
+    got = sorted(
+        tuple(r) for r in pipeline.canonicalize_proponents(facts, mapping).collect()
+    )
+    assert got == expected
+    by_url = {t[0]: t[4] for t in got}
+    assert "ACME CORP" not in by_url["u1"] and "Acme Corp" in by_url["u1"]
+    assert by_url["u2"] == "[]"
+    assert "e.V." in by_url["u3"]
+    assert by_url["u4"] == '{"country": "X"}'
+
+
+def test_broadcast_byte_budget_routes_to_join_path(spark, monkeypatch):
+    """A dictionary under the row cap but over the BYTE budget must take the
+    join path without a driver collect of the mapping."""
+    from datetime import datetime
+
+    from kgx.schema import FACTS
+
+    rows = [("u1", datetime(2025, 1, 1), "s1", "project_proponents",
+             kernel.canonical_json([{"organization_name": "Acme Corp"}]),
+             None, ["Acme Corp"])]
+    facts = spark.createDataFrame(rows, FACTS)
+    mapping = spark.createDataFrame(
+        [("Acme Corp", "ACME")], "surface string, rep string"
+    )
+    monkeypatch.setattr(pipeline, "BROADCAST_MAPPING_MAX_BYTES", 0)
+    out = {t["obj"] for t in
+           pipeline.canonicalize_proponents(facts, mapping).collect()}
+    assert out == {kernel.canonical_json([{"organization_name": "ACME"}])}
