@@ -617,9 +617,10 @@ def _driver_canonical_mapping(spark, nodes, known, shingle, threshold):
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 40
 ) -> DataFrame:
-    """(surface) x (a,b) -> (surface, component) by min-label propagation.
+    """(surface) x (a,b) -> (surface, component) via driver union-find or
+    distributed large-star/small-star contraction.
 
     Only nodes touching an edge enter the CC computation; isolated nodes (the
     vast majority of a mostly-unique corpus) are their own component by
@@ -687,9 +688,10 @@ def connected_components(
 
 
 def _driver_cc_from_rows(spark, edge_rows, extra_surfaces=()) -> DataFrame:
-    """Union-find over an ALREADY-COLLECTED edge list (the guard probe rows —
-    no second Spark job). Touched nodes are the edge endpoints; callers add
-    ``extra_surfaces`` for nodes that must appear as singletons."""
+    """Union-find over an ALREADY-COLLECTED edge list (the caller collects
+    the checkpointed edges once the executor-side row+byte guard passes).
+    Touched nodes are the edge endpoints; callers add ``extra_surfaces`` for
+    nodes that must appear as singletons."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
