@@ -144,6 +144,7 @@ class TripleStore:
         buckets: list[int],
         metrics: dict,
         content: DataFrame | None = None,
+        epoch: int | None = None,
     ) -> str:
         """Atomically materialize one commit unit: data rename, content-sha
         sidecar, then manifest (the manifest is the commit point; anything
@@ -153,7 +154,12 @@ class TripleStore:
         EVERY content hash processed into this unit — pass it when some inputs
         legitimately yield zero triples (a page with no extractable facts must
         still register, or ingest-time dedup re-extracts it forever). Defaults
-        to the distinct content_sha of the triples themselves."""
+        to the distinct content_sha of the triples themselves.
+
+        ``epoch``: optional streaming micro-batch id recorded in the manifest
+        — the idempotence key that lets a replayed foreachBatch epoch (crash
+        between this commit and the stream's own commit log) be detected and
+        skipped instead of double-committed."""
         unit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         final_dir = os.path.join(self.data_dir, f"unit={unit_id}")
         tmp_dir = os.path.join(self.root, f"_tmp-{unit_id}")
@@ -184,8 +190,21 @@ class TripleStore:
             "metrics": metrics,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        if epoch is not None:
+            manifest["epoch"] = epoch
         self._write_manifest(manifest)
         return unit_id
+
+    def committed_epochs(self) -> set[int]:
+        """Streaming epochs already snapshot-committed (live manifests;
+        compaction folds its victims' epochs into the merged manifest so the
+        replay guard survives maintenance)."""
+        out: set[int] = set()
+        for m in self.manifests():
+            if "epoch" in m:
+                out.add(m["epoch"])
+            out.update(m.get("epochs", []))
+        return out
 
     def _next_seq(self) -> int:
         """max(existing seq) + 1 — NOT len(manifests): a retried commit or a
@@ -214,12 +233,22 @@ class TripleStore:
 
     # -- read ----------------------------------------------------------------
     def _read_units(self, spark: SparkSession, units: list[str]) -> DataFrame:
-        if not units:
-            from kgx.schema import TRIPLES
+        from kgx.schema import TRIPLES
 
+        if not units:
             return spark.createDataFrame([], TRIPLES)
         paths = [os.path.join(self.data_dir, f"unit={u}") for u in units]
-        return spark.read.option("basePath", self.data_dir).parquet(*paths).drop("unit")
+        # explicit schema: a unit committed from ZERO triples (a micro-batch
+        # of extractable-fact-free pages — supported via commit(content=...))
+        # writes only _SUCCESS under partitionBy, and schema inference on it
+        # fails loudly; the 'pred' partition column is part of TRIPLES so
+        # Spark fills it from the directory names
+        return (
+            spark.read.schema(TRIPLES)
+            .option("basePath", self.data_dir)
+            .parquet(*paths)
+            .drop("unit")
+        )
 
     def _commit_order(self) -> list[str]:
         """Units in COMMIT order: by the monotonic manifest seq (id order can
@@ -304,10 +333,15 @@ class TripleStore:
                 agg = merged_metrics.setdefault(pred, {"rows": 0, "violations": 0})
                 agg["rows"] += v.get("rows", 0)
                 agg["violations"] += v.get("violations", 0)
+        epochs = sorted(
+            {e for m in victims
+             for e in ([m["epoch"]] if "epoch" in m else m.get("epochs", []))}
+        )
         manifest = {
             "unit": unit_id,
             "content_sidecar": True,
             "seq": max(m.get("seq", 0) for m in victims),
+            **({"epochs": epochs} if epochs else {}),
             "buckets": sorted({b for m in victims for b in m["buckets"]}),
             "metrics": merged_metrics,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -380,12 +414,35 @@ class TripleStore:
                     _rm(p)
                     removed += 1
 
-        # data and content dirs whose unit no manifest references are garbage:
-        # a crash between the data rename / sidecar publish and the manifest
-        # publish (the commit point) leaves them behind, as does a crash
-        # mid-GC in compact(). The grace window protects an in-flight commit
-        # that has renamed data but not yet published its manifest.
-        live = {m["unit"] for m in self._all_manifests()}
+        # finish any compaction GC a crash interrupted: a manifest listed in
+        # another manifest's `replaces` is superseded garbage (its unit became
+        # invisible the instant the compacted manifest landed) — delete the
+        # stale JSON so the unit sweep below can reclaim its data/content;
+        # without this, a crash mid-GC in compact() leaked them forever
+        raw = self._all_manifests()
+        replaced: set[str] = set()
+        for m in raw:
+            replaced.update(m.get("replaces", []))
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith("_tmp-"):
+                # crash between _write_manifest's json.dump and link(2)
+                p = os.path.join(self.manifest_dir, name)
+                if _expired(p):
+                    _rm(p)
+                    removed += 1
+            elif name.endswith(".json"):
+                p = os.path.join(self.manifest_dir, name)
+                with open(p) as f:
+                    if json.load(f)["unit"] in replaced and _expired(p):
+                        os.remove(p)
+                        removed += 1
+
+        # data and content dirs whose unit no LIVE manifest references are
+        # garbage: a crash between the data rename / sidecar publish and the
+        # manifest publish (the commit point) leaves them behind, as does a
+        # crash mid-GC in compact(). The grace window protects an in-flight
+        # commit that has renamed data but not yet published its manifest.
+        live = {m["unit"] for m in self.manifests()}
         for d in (self.data_dir, self.content_dir):
             for name in os.listdir(d):
                 if name.startswith("unit=") and name[len("unit="):] not in live:

@@ -83,7 +83,9 @@ def _fused_arrow_batches(batches):
         cols = {name: b.column(i).to_pylist() for i, name in enumerate(b.schema.names)}
         out: dict[str, list] = {f.name: [] for f in FACTS.fields}
         for url, warc_ts, html in zip(cols["url"], cols["warc_ts"], cols["html"]):
-            raw = bytes(html)
+            # null html (failed fetch — a certainty in real WARC input)
+            # degrades to an empty page, never a task-killing TypeError
+            raw = bytes(html) if html is not None else b""
             text = kernel.html_to_text(raw)
             sha = hashlib.sha256(raw).hexdigest()
             for cat, fact in kernel.page_facts(text):
@@ -203,7 +205,11 @@ def validate_triples(triples: DataFrame) -> tuple[DataFrame, dict[str, int]]:
     valid_col = F.lit(False)
     for pred, ok in checks:
         valid_col = F.when(F.col("pred") == pred, ok).otherwise(valid_col)
-    flagged = triples.withColumn("valid", valid_col)
+    # localCheckpoint: the metrics aggregation below and the caller's commit
+    # write are two actions — without pinning, the whole upstream chain
+    # (canonicalize rewrite + this from_json validation) executed twice per
+    # commit unit
+    flagged = triples.withColumn("valid", valid_col).localCheckpoint()
     counts = (
         flagged.groupBy("pred")
         .agg(

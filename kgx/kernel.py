@@ -452,8 +452,10 @@ def _norm_date(s: str) -> str | None:
 # (ground_truth_project_detail_formatter.py:44,61-62 uses CommonRegex
 # .phones[0]/.emails[0] when the labeled fields are absent)
 _PHONE_MENTION_RE = re.compile(
-    r"(?:\+?\d{1,3}[-.\s]?)?(?:\(\d{2,4}\)[-.\s]?)?\d{3,4}[-.\s]?\d{3,4}"
-    r"(?:[-.\s]?\d{2,4})?"
+    # separators deliberately exclude \n: \s joined unrelated numeric tokens
+    # on adjacent lines ("Founded 1995\n2000 employees") into fake numbers
+    r"(?:\+?\d{1,3}[-. ]?)?(?:\(\d{2,4}\)[-. ]?)?\d{3,4}[-. ]?\d{3,4}"
+    r"(?:[-. ]?\d{2,4})?"
 )
 _EMAIL_MENTION_RE = re.compile(
     r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"

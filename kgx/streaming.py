@@ -51,45 +51,10 @@ def ingest_available_now(
     committed: list[str] = []
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        batch_shas = None
-        if dedup_content:
-            from pyspark.sql import Window
-
-            keyed = batch_df.withColumn(
-                "content_sha", F.sha2(F.col("html"), 256)
-            )
-            # deterministic within-batch keep: min url per distinct content
-            w = Window.partitionBy("content_sha")
-            keyed = keyed.withColumn(
-                "_keep", F.min("url").over(w)
-            ).filter(F.col("url") == F.col("_keep")).drop("_keep")
-            known = store.known_content(spark)
-            if known is not None:
-                keyed = keyed.join(known, "content_sha", "left_anti")
-            # pin ONE execution of the dedup subplan (sha2 over full html +
-            # window + anti-join): the emptiness probe, the extraction chain,
-            # and the commit-time sidecar write below would otherwise each
-            # re-run it per micro-batch
-            keyed = keyed.localCheckpoint()
-            batch_shas = keyed.select("content_sha")
-            batch_df = keyed.drop("content_sha")
-            if not batch_df.take(1):
-                return
-        facts = pipeline.extract_stage(spark, batch_df)
-        mentions = facts.filter(F.col("pred") == "project_proponents").select(
-            F.explode("surfaces").alias("surface")
-        )
-        known = store.known_entities(spark)
-        mapping = canon.canonical_mapping(mentions, known=known).localCheckpoint()
-        store.save_entities(mapping)
-        final = pipeline.canonicalize_proponents(facts, mapping)
-        flagged, metrics = extract.validate_triples(pipeline._to_triples(final))
-        unit = store.commit(
-            flagged.drop("valid"), buckets=[], metrics=metrics, content=batch_shas
-        )
-        committed.append(unit)
+        unit = _process_epoch(spark, store, batch_df, int(epoch_id),
+                              dedup_content)
+        if unit is not None:
+            committed.append(unit)
 
     q = (
         spark.readStream.schema(PAGES)
@@ -101,6 +66,70 @@ def ingest_available_now(
     )
     q.awaitTermination()
     return committed
+
+
+def _process_epoch(
+    spark: SparkSession,
+    store,
+    batch_df: DataFrame,
+    epoch_id: int,
+    dedup_content: bool,
+) -> str | None:
+    """One foreachBatch epoch: dedup (optional) -> extract -> canonicalize ->
+    validate -> snapshot commit. Returns the unit id, or None when nothing
+    was committed (empty/fully-deduped batch, or a REPLAYED epoch).
+
+    Replay guard: foreachBatch is at-least-once — a crash between our
+    snapshot commit and the stream's commit log re-runs the epoch. The epoch
+    id recorded in the manifest makes the commit idempotent (module-level so
+    the guard is testable without crashing a live stream checkpoint)."""
+    if epoch_id in store.committed_epochs():
+        return None
+    if not batch_df.take(1):
+        return None
+    batch_shas = None
+    if dedup_content:
+        from pyspark.sql import Window
+
+        keyed = batch_df.withColumn(
+            "content_sha",
+            # coalesce: null html (failed fetch) hashes as empty content
+            # rather than a null key that anti-joins can never match
+            F.sha2(F.coalesce(F.col("html"), F.lit(b"")), 256),
+        )
+        # deterministic within-batch keep: ONE row per distinct content,
+        # the min-url copy. row_number, not url == min(url): exact
+        # duplicate (url, content) rows would all satisfy the equality
+        # and every one would flow through extraction
+        w = Window.partitionBy("content_sha").orderBy("url", "warc_ts")
+        keyed = keyed.withColumn(
+            "_rn", F.row_number().over(w)
+        ).filter(F.col("_rn") == 1).drop("_rn")
+        known = store.known_content(spark)
+        if known is not None:
+            keyed = keyed.join(known, "content_sha", "left_anti")
+        # pin ONE execution of the dedup subplan (sha2 over full html +
+        # window + anti-join): the emptiness probe, the extraction chain,
+        # and the commit-time sidecar write below would otherwise each
+        # re-run it per micro-batch
+        keyed = keyed.localCheckpoint()
+        batch_shas = keyed.select("content_sha")
+        batch_df = keyed.drop("content_sha")
+        if not batch_df.take(1):
+            return None
+    facts = pipeline.extract_stage(spark, batch_df)
+    mentions = facts.filter(F.col("pred") == "project_proponents").select(
+        F.explode("surfaces").alias("surface")
+    )
+    known = store.known_entities(spark)
+    mapping = canon.canonical_mapping(mentions, known=known).localCheckpoint()
+    store.save_entities(mapping)
+    final = pipeline.canonicalize_proponents(facts, mapping)
+    flagged, metrics = extract.validate_triples(pipeline._to_triples(final))
+    return store.commit(
+        flagged.drop("valid"), buckets=[], metrics=metrics,
+        content=batch_shas, epoch=epoch_id,
+    )
 
 
 def pages_stream(spark: SparkSession, pages_dir: str) -> DataFrame:

@@ -40,7 +40,9 @@ def _kernel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out[f.name].append(kw.get(f.name))
 
         for url, warc_ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
-            raw = bytes(html)
+            # null html (failed fetch — a certainty in real WARC input)
+            # degrades to an empty page, never a task-killing TypeError
+            raw = bytes(html) if html is not None else b""
             text = kernel.html_to_text(raw)
             sha = hashlib.sha256(raw).hexdigest()
             emit(url=url, warc_ts=warc_ts, content_sha=sha, text=text,

@@ -316,3 +316,65 @@ def test_known_content_mixed_legacy_and_sidecar_units(spark, small_pages, tmp_pa
     }
     assert {r.content_sha for r in rows} == want
     assert len(rows) == len(want)  # distinct per sha, not per (sha, unit)
+
+
+def test_empty_unit_commit_reads_back(spark, tmp_path):
+    """A unit committed from ZERO triples (all pages fact-free) must read
+    back as an empty frame — partitionBy writes no schema-bearing file, so
+    the reader needs its explicit schema, not inference."""
+    from kgx.schema import TRIPLES
+
+    store = TripleStore(str(tmp_path / "empty"), n_buckets=2)
+    empty = spark.createDataFrame([], TRIPLES)
+    shas = spark.createDataFrame([("a" * 64,)], "content_sha string")
+    unit = store.commit(empty, buckets=[0], metrics={}, content=shas)
+    assert store.read(spark).count() == 0
+    assert store.read_as_of(spark, unit).count() == 0
+    assert set(store.read(spark).columns) == set(TRIPLES.fieldNames())
+    # the zero-triple unit still registered its processed content
+    assert {r.content_sha for r in store.known_content(spark).collect()} == {"a" * 64}
+
+
+def test_vacuum_finishes_crashed_compaction_gc(spark, small_pages, tmp_path):
+    """compact() crashing after the merged-manifest publish but before GC
+    leaves superseded manifests + their data dirs; vacuum must finish the
+    job (delete the stale JSONs, then reclaim the dirs)."""
+    import os
+    import shutil
+
+    store = TripleStore(str(tmp_path / "cgc"), n_buckets=4)
+    pipeline.run_checkpointed(spark, small_pages, store, groups=2)
+    victims = [m["unit"] for m in store.manifests()]
+    assert len(victims) >= 2
+
+    # simulate the crash: snapshot manifests+data before compact's GC step,
+    # run compact, then restore the superseded leftovers it deleted
+    pre_manifests = {
+        n: open(os.path.join(store.manifest_dir, n)).read()
+        for n in os.listdir(store.manifest_dir) if n.endswith(".json")
+    }
+    data_backup = str(tmp_path / "bak")
+    shutil.copytree(store.data_dir, data_backup)
+    merged = store.compact(spark)
+    assert merged is not None
+    for n, body in pre_manifests.items():
+        p = os.path.join(store.manifest_dir, n)
+        if not os.path.exists(p):
+            with open(p, "w") as f:
+                f.write(body)
+    for u in victims:
+        src = os.path.join(data_backup, f"unit={u}")
+        dst = os.path.join(store.data_dir, f"unit={u}")
+        if not os.path.exists(dst):
+            shutil.copytree(src, dst)
+
+    fresh = TripleStore(store.root, n_buckets=4)
+    before = _triple_set(fresh.read(spark))
+    stats = fresh.vacuum(spark, grace_s=0.0)
+    assert stats["orphans_removed"] >= len(victims)
+    assert not any(
+        n for n in os.listdir(fresh.manifest_dir)
+        if n.endswith(".json") and any(u in n for u in victims)
+    )
+    assert sorted(os.listdir(fresh.data_dir)) == [f"unit={merged}"]
+    assert _triple_set(TripleStore(store.root, n_buckets=4).read(spark)) == before

@@ -299,3 +299,100 @@ def test_mode_guard_blocks_mixed_ingest(spark, tmp_path):
     streaming.ingest_available_now(spark, pages_dir, s)
     with pytest.raises(ValueError, match="'streaming' mode; refusing 'batch'"):
         pipeline.run_checkpointed(spark, pages_df, s, groups=2)
+
+
+def test_replayed_epoch_does_not_double_commit(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the snapshot commit and
+    the stream's commit log re-delivers the same epoch. The manifest-recorded
+    epoch id must make the second delivery a no-op, not a double commit
+    (exercised through _process_epoch — deleting a live stream checkpoint's
+    commit log trips Spark's concurrent-modification detection instead)."""
+    import pandas as pd
+
+    pages = fixtures.gen_pages(8)
+    store = TripleStore(str(tmp_path / "store_ep"), n_buckets=4)
+    store.claim_mode("streaming")
+    batch = spark.createDataFrame(pd.DataFrame(pages))
+
+    unit1 = streaming._process_epoch(spark, store, batch, 0, False)
+    assert unit1 is not None
+    n1 = store.read(spark).count()
+    assert n1 > 0
+    assert store.manifests()[0].get("epoch") == 0
+    assert store.committed_epochs() == {0}
+
+    # the replayed delivery of epoch 0: identical input, must be skipped
+    assert streaming._process_epoch(spark, store, batch, 0, False) is None
+    assert store.read(spark).count() == n1
+    assert len(store.manifests()) == 1
+
+    # the NEXT epoch commits normally
+    assert streaming._process_epoch(spark, store, batch.limit(2), 1, False)
+    assert store.committed_epochs() == {0, 1}
+
+    # and the guard survives compaction (epochs fold into the merged manifest)
+    store.compact(spark)
+    assert store.committed_epochs() == {0, 1}
+    assert streaming._process_epoch(spark, store, batch, 1, False) is None
+
+
+def test_exact_duplicate_rows_in_batch_survive_once(spark, tmp_path):
+    """Two byte-identical (url, html) rows in one wave: dedup_content must
+    keep exactly ONE copy (row_number semantics — a min-url equality filter
+    would pass both and double every fact)."""
+    pages = fixtures.gen_pages(3)
+    dup = pages[0]
+    pages_dir = str(tmp_path / "inbox")
+    _write_pages([dup, dup, pages[1], pages[2]], f"{pages_dir}/part-0.parquet")
+    store = TripleStore(str(tmp_path / "store_dup"), n_buckets=4)
+    streaming.ingest_available_now(spark, pages_dir, store, dedup_content=True)
+
+    import pandas as pd
+
+    from kgx import pipeline
+
+    oneshot = pipeline.build_triples(
+        spark, spark.createDataFrame(pd.DataFrame(pages[:3]))
+    ).count()
+    assert store.read(spark).count() == oneshot
+
+
+def test_null_html_pages_do_not_kill_the_job(spark, tmp_path):
+    """A failed fetch (html NULL) must degrade to an empty page — zero facts,
+    empty-content sha — not a TypeError that fails every task retry."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pages = fixtures.gen_pages(3)
+    rows = pages[:2]
+    t = pa.table(
+        {
+            "url": [p["url"] for p in rows] + ["https://dead.example/proj/9999"],
+            "warc_ts": pa.array(
+                [p["warc_ts"] for p in rows] + [rows[0]["warc_ts"]],
+                pa.timestamp("us"),
+            ),
+            "html": pa.array([p["html"] for p in rows] + [None], pa.binary()),
+            "text": [p["text"] for p in rows] + [None],
+            "lang": [p["lang"] for p in rows] + [None],
+        }
+    )
+    pages_dir = str(tmp_path / "inbox")
+    os.makedirs(pages_dir)
+    pq.write_table(t, f"{pages_dir}/part-0.parquet")
+    store = TripleStore(str(tmp_path / "store_null"), n_buckets=4)
+    units = streaming.ingest_available_now(spark, pages_dir, store,
+                                           dedup_content=True)
+    assert units
+    subs = {r.subj for r in store.read(spark).select("subj").distinct().collect()}
+    from kgx import kernel
+
+    assert kernel.page_id_from_url("https://dead.example/proj/9999") not in subs
+    for p in rows:
+        assert kernel.page_id_from_url(p["url"]) in subs
+    # the contentless page registered (empty-content sha), so it never re-runs
+    import hashlib
+
+    assert hashlib.sha256(b"").hexdigest() in {
+        r.content_sha for r in store.known_content(spark).collect()
+    }
