@@ -64,8 +64,15 @@ def chat_rows(triples: DataFrame, questions: DataFrame) -> DataFrame:
 
 
 def stratified_quota(chat: DataFrame, per_pred: int, seed: int = 42) -> DataFrame:
-    """Top-N rows per predicate stratum, deterministic order within stratum."""
-    w = Window.partitionBy("pred").orderBy(F.xxhash64("subj", F.lit(seed)), "subj")
+    """Top-N rows per predicate stratum, deterministic order within stratum.
+
+    The order must be TOTAL: (hash, subj) alone ties when a (pred, subj)
+    pair carries several rows, and row_number would then cut the quota
+    boundary by arbitrary partition order — run-to-run membership flips with
+    the same seed. to_json(messages) is the content-bearing tiebreaker."""
+    w = Window.partitionBy("pred").orderBy(
+        F.xxhash64("subj", F.lit(seed)), "subj", F.to_json("messages")
+    )
     return (
         chat.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= per_pred)
@@ -107,5 +114,8 @@ def build_datasets(
     counts = {}
     for name, df in (("train", train), ("val", val), ("test", test)):
         write_jsonl(df, f"{out_dir}/{name}.jsonl")
-        counts[name] = spark.read.json(f"{out_dir}/{name}.jsonl").count()
+        # read back with the explicit schema: a 0-row split (tiny corpora
+        # regularly produce one via randomSplit) writes only _SUCCESS, and
+        # schema INFERENCE on that directory raises instead of counting 0
+        counts[name] = read_jsonl(spark, f"{out_dir}/{name}.jsonl").count()
     return counts

@@ -49,6 +49,10 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["obj"].append(obj)
             out["codes"].append(codes)
             out["surfaces"].append(surfaces)
+        if not out["url"]:
+            # a batch where no context yields a fact: pandas types the empty
+            # columns float64 and Arrow refuses the double->timestamp cast
+            continue
         yield pd.DataFrame(out)
 
 

@@ -76,9 +76,16 @@ class AhoCorasick:
             s = self.goto[s].get(ch, 0)
             for term in self.out[s]:
                 start = i - len(term) + 1
-                if start > 0 and low[start - 1] in _WORD:
+                # regex \b: a boundary exists iff EXACTLY ONE side is a word
+                # char. The edge-char-conditioned form matters for terms with
+                # punctuation edges ('washington d.c.'): \b after a non-word
+                # edge requires the NEXT char to be a word char, the inverse
+                # of the word-edged case (string edges count as non-word).
+                if ((start > 0 and low[start - 1] in _WORD)
+                        == (term[0] in _WORD)):
                     continue
-                if i + 1 < n and low[i + 1] in _WORD:
+                if ((i + 1 < n and low[i + 1] in _WORD)
+                        == (term[-1] in _WORD)):
                     continue
                 if start < last_end.get(term, 0):
                     continue  # overlaps this term's previous accepted match

@@ -214,8 +214,11 @@ FROM nation
 def q10_semi_join(spark: SparkSession, sf: str) -> DataFrame:
     s = load(spark, sf, "supplier")
     li = load(spark, sf, "lineitem")
+    # no distinct() on the right side: left_semi already emits each supplier
+    # at most once, and the distinct forced a full aggregate+exchange over
+    # the LARGEST table before the join for identical output
     return s.join(
-        li.select("l_suppkey").distinct(), s.s_suppkey == F.col("l_suppkey"), "left_semi"
+        li.select("l_suppkey"), s.s_suppkey == F.col("l_suppkey"), "left_semi"
     ).select("s_suppkey", "s_name")
 
 

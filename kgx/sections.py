@@ -23,7 +23,11 @@ from pyspark.sql import types as T
 from kgx import kernel
 from kgx.config import HEADING_VARIANTS
 
-_STRIP_RE = r"^\s+|\s+$"  # Spark-side equivalent of str.strip()
+# (?U): Java \s is ASCII-only by default; Python str.strip() (the golden
+# kernel) strips Unicode whitespace (nbsp and friends — routine in
+# HTML-extracted text), so the JVM side must match or chunks diverge
+# byte-for-byte at whitespace edges
+_STRIP_RE = r"(?U)^\s+|\s+$"  # Spark-side equivalent of str.strip()
 
 
 def variant_dim(spark: SparkSession) -> DataFrame:
@@ -39,8 +43,12 @@ def variant_dim(spark: SparkSession) -> DataFrame:
 
 
 def section_spans(heading_rows: DataFrame) -> DataFrame:
-    """end_off = lead(start_off) over (url ordered by start_off), default text_len."""
-    w = Window.partitionBy("url").orderBy("start_off")
+    """end_off = lead(start_off) over one CRAWL ordered by start_off, default
+    text_len. The partition key is (url, warc_ts, content_sha), not url
+    alone: a corpus can carry the same url twice (re-crawl), and a url-only
+    window would interleave both versions' headings, computing one crawl's
+    end_off from the other's start_off."""
+    w = Window.partitionBy("url", "warc_ts", "content_sha").orderBy("start_off")
     return heading_rows.withColumn(
         "end_off", F.coalesce(F.lead("start_off").over(w), F.col("text_len"))
     ).withColumn("body_off", F.least("body_off", "end_off"))
@@ -55,7 +63,9 @@ def categorize(sections: DataFrame, variants: DataFrame) -> DataFrame:
         & F.lower(F.col("title")).contains(F.col("variant")),
         "inner",
     )
-    w = Window.partitionBy("url", "sec_idx").orderBy("priority")
+    w = Window.partitionBy("url", "warc_ts", "content_sha", "sec_idx").orderBy(
+        "priority"
+    )
     return (
         joined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -80,7 +90,7 @@ def categorize_last_match(sections: DataFrame, variants: DataFrame) -> DataFrame
         comp(F.col("heading")).contains(comp(F.col("variant"))),
         "inner",
     )
-    wcat = Window.partitionBy("url", "category")
+    wcat = Window.partitionBy("url", "warc_ts", "content_sha", "category")
     best = (
         joined.withColumn("_bv", F.min("vprio").over(wcat))
         .filter(F.col("vprio") == F.col("_bv"))
@@ -94,15 +104,29 @@ def categorize_last_match(sections: DataFrame, variants: DataFrame) -> DataFrame
 
 
 def section_bodies(categorized: DataFrame, page_text: DataFrame) -> DataFrame:
-    """Slice each categorized section's body out of the page text."""
-    pt = page_text.select("url", "text")
+    """Slice each categorized section's body out of ITS OWN crawl's text.
+
+    The join matches the full crawl identity (url, content_sha, null-safe
+    warc_ts) — a url-only join against a re-crawled corpus would slice each
+    section's offsets out of BOTH versions' texts. ``sec_idx`` rides along so
+    retrieval stays per-section (two same-category sections in one document
+    must not merge — the golden path emits one context per section)."""
+    pt = page_text.select(
+        F.col("url").alias("_u"), F.col("warc_ts").alias("_w"),
+        F.col("content_sha").alias("_c"), "text",
+    )
+    cond = (
+        (F.col("url") == F.col("_u"))
+        & (F.col("content_sha") == F.col("_c"))
+        & F.col("warc_ts").eqNullSafe(F.col("_w"))
+    )
     body = F.substring(
         F.col("text"), F.col("body_off") + 1, F.col("end_off") - F.col("body_off")
     )
     return (
-        categorized.join(pt, "url")
+        categorized.join(pt, cond)
         .withColumn("body", F.regexp_replace(body, _STRIP_RE, ""))
-        .select("url", "warc_ts", "content_sha", "category", "body")
+        .select("url", "warc_ts", "content_sha", "sec_idx", "category", "body")
     )
 
 
@@ -111,7 +135,11 @@ _CHUNK_SCHEMA = T.ArrayType(T.StringType())
 
 @F.pandas_udf(_CHUNK_SCHEMA)
 def _chunks_udf(body: pd.Series) -> pd.Series:
-    return body.map(lambda b: kernel.chunk_text(b) if b else [])
+    # an empty body still yields ONE empty chunk: the golden path emits an
+    # empty context for a body-less section (heading directly followed by the
+    # next heading); returning [] would posexplode the section out of
+    # existence and break parity
+    return body.map(lambda b: kernel.chunk_text(b) if b else [""])
 
 
 @F.pandas_udf(T.DoubleType())
@@ -129,10 +157,14 @@ def _chunked_single_topk(bodies: DataFrame):
     from pyspark import StorageLevel
 
     chunked = bodies.select(
-        "url", "warc_ts", "content_sha", "category",
+        "url", "warc_ts", "content_sha", "category", "sec_idx",
         F.posexplode(_chunks_udf("body")).alias("chunk_id", "chunk"),
     )
-    grp = Window.partitionBy("url", "category")
+    # per SECTION, not per (url, category): two sections of one document can
+    # categorize identically, and merging them would interleave chunk_ids
+    # from different bodies into one garbled context (golden = one context
+    # per section)
+    grp = Window.partitionBy("url", "category", "sec_idx")
     # persisted: the single-chunk and multi-chunk branches both consume it
     chunked = chunked.withColumn("n_chunks", F.count("*").over(grp)).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -159,7 +191,7 @@ def contexts(bodies: DataFrame) -> DataFrame:
     """
     single, kept = _chunked_single_topk(bodies)
     rejoined = (
-        kept.groupBy("url", "warc_ts", "content_sha", "category")
+        kept.groupBy("url", "warc_ts", "content_sha", "category", "sec_idx")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("chunk_id", "chunk"))
@@ -245,7 +277,7 @@ def contexts_refined(
     if mode not in ("best1", "redundant"):
         raise ValueError(f"unknown mode {mode!r}")
     single, kept = _chunked_single_topk(bodies)
-    refined = kept.groupBy("url", "category").applyInPandas(
+    refined = kept.groupBy("url", "category", "sec_idx").applyInPandas(
         _refine_group_fn(mode, threshold), schema=_CTX_SCHEMA
     )
     return single.unionByName(refined)

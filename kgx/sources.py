@@ -19,7 +19,13 @@ _CSV_OPTS = {"header": "true", "escape": '"', "multiLine": "true"}
 
 
 def write_triples_csv(triples: DataFrame, path: str) -> None:
-    """CSV sink; timestamps ISO-formatted so the round-trip is lossless."""
+    """CSV sink; timestamps ISO-formatted so the round-trip is lossless.
+
+    Columns are written in TRIPLES schema order: the reader binds its
+    explicit schema POSITIONALLY (Spark ignores the header when a schema is
+    given), so an input selected in a different order would otherwise
+    round-trip with silently swapped columns."""
+    triples = triples.select([f.name for f in TRIPLES.fields])
     (
         triples.withColumn(
             "warc_ts", F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")

@@ -59,13 +59,14 @@ def _multi_chunk_bodies(spark, n_groups: int = 6):
                 f"https://ex.org/proj/{i:06d}",
                 datetime(2026, 1, 1),
                 f"sha{i:064d}"[:64],
+                0,
                 "sector",
                 para_a + "\n" + para_b,
             )
         )
     return spark.createDataFrame(
         rows,
-        "url string, warc_ts timestamp, content_sha string, "
+        "url string, warc_ts timestamp, content_sha string, sec_idx int, "
         "category string, body string",
     )
 

@@ -324,3 +324,87 @@ def test_broadcast_byte_budget_routes_to_join_path(spark, monkeypatch):
     out = {t["obj"] for t in
            pipeline.canonicalize_proponents(facts, mapping).collect()}
     assert out == {kernel.canonical_json([{"organization_name": "ACME"}])}
+
+
+def test_duplicate_category_sections_stay_separate(spark):
+    """Two sections of one document that categorize identically must emit TWO
+    contexts (the golden path is per-section); a (url, category) grouping
+    would merge and garble them."""
+    import datetime
+
+    html = (
+        "<html><body>"
+        "<h1>1. INTRO</h1>"
+        "<h2>1.1 PROJECT PROPONENT (S)</h2><p>first body text here</p>"
+        "<h1>2. ANNEX</h1>"
+        "<h2>2.1 PROJECT PROPONENT DETAILS</h2><p>second body text here</p>"
+        "</body></html>"
+    ).encode()
+    text = kernel.html_to_text(html)
+    pdf = pd.DataFrame([{
+        "url": "https://t.example.com/proj/000042",
+        "warc_ts": datetime.datetime(2024, 1, 1),
+        "html": html, "text": text, "lang": "en",
+    }])
+    kdf = textextract.kernel_pass(spark.createDataFrame(pdf))
+    got = sorted(
+        (r.category, r.context)
+        for r in sections.build_contexts(spark, kdf).collect()
+    )
+    gold = sorted(
+        (kernel.categorize_heading(s["title"]),
+         kernel.select_context(text[s["body_off"]:s["end_off"]].strip(),
+                               kernel.categorize_heading(s["title"])))
+        for s in kernel.sections_from_text(text)
+        if kernel.categorize_heading(s["title"]) is not None
+    )
+    assert got == gold
+    assert len([c for c, _ in got if c == "project_proponents"]) == 2
+
+
+def test_empty_body_section_emits_empty_context(spark):
+    """A heading directly followed by the next heading (zero-length body)
+    must still emit a context row ('' like the golden path), not vanish."""
+    import datetime
+
+    html = (
+        "<html><body>"
+        "<h1>1. PROJECT DETAILS</h1>"
+        "<h2>1.1 PROJECT PROPONENT (S)</h2>"
+        "<h2>1.2 SECTORAL SCOPE AND TYPE OF PROJECT</h2><p>real body</p>"
+        "</body></html>"
+    ).encode()
+    text = kernel.html_to_text(html)
+    pdf = pd.DataFrame([{
+        "url": "https://t.example.com/proj/000043",
+        "warc_ts": datetime.datetime(2024, 1, 1),
+        "html": html, "text": text, "lang": "en",
+    }])
+    kdf = textextract.kernel_pass(spark.createDataFrame(pdf))
+    got = {(r.category, r.context)
+           for r in sections.build_contexts(spark, kdf).collect()}
+    gold = {(c["category"], c["context"])
+            for c in fixtures.golden_contexts(
+                [{"url": "https://t.example.com/proj/000043", "text": text}])}
+    assert got == gold
+    assert any(ctx == "" for _, ctx in got)
+
+
+def test_recrawled_url_relational_equals_fused(spark):
+    """The same url crawled twice (different content, different warc_ts):
+    mode='relational' must produce the same facts as the row-local fused
+    path — url-only windows/joins interleaved the two versions."""
+    pages = fixtures.gen_pages(4)
+    recrawl = {**pages[1], "url": pages[0]["url"],
+               "warc_ts": pages[0]["warc_ts"] + __import__("datetime").timedelta(days=30)}
+    df = spark.createDataFrame(pd.DataFrame(pages[:3] + [recrawl]))
+
+    def key_set(facts):
+        return {
+            (r.url, str(r.warc_ts), r.content_sha, r.pred, r.obj)
+            for r in facts.select("url", "warc_ts", "content_sha", "pred", "obj").collect()
+        }
+
+    fused = key_set(pipeline.extract_stage(spark, df, mode="fused"))
+    relational = key_set(pipeline.extract_stage(spark, df, mode="relational"))
+    assert relational == fused

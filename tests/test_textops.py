@@ -112,3 +112,21 @@ def test_dedup_clusters_degenerate_corpora(spark):
     assert n == 1 and groups == {frozenset({"1"})}
     n, groups = run([])
     assert n == 0 and groups == set()
+
+
+def test_gazetteer_punctuation_edge_terms_match_regex(spark):
+    """Terms whose edge chars are NON-word ('washington d.c.') must follow
+    regex \b semantics: \b after a trailing '.' requires the NEXT char to be
+    a word char — the inverse of the word-edged case."""
+    import re
+
+    from kgx.gazetteer import automaton
+
+    text = "From Washington D.C. we flew; washington d.c.is lovely. (d.c.)"
+    terms = ["washington d.c.", "d.c."]
+    ac = automaton(terms)
+    got = ac.counts(text.lower())
+    for t in terms:
+        pat = re.compile(r"\b" + re.escape(t) + r"\b")
+        want = len(pat.findall(text.lower()))
+        assert got.get(t, 0) == want, (t, got.get(t, 0), want)
