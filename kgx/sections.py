@@ -165,7 +165,11 @@ def _chunked_single_topk(bodies: DataFrame):
     # from different bodies into one garbled context (golden = one context
     # per section)
     grp = Window.partitionBy("url", "category", "sec_idx")
-    # persisted: the single-chunk and multi-chunk branches both consume it
+    # persisted: the single-chunk and multi-chunk branches both consume it.
+    # The handle is never unpersisted (the branches are returned lazy, so
+    # there is no safe unpersist point); the cache lives until LRU eviction
+    # or session end — acceptable for the relational cross-validation path
+    # (the fused kernel is the production path and takes no cache)
     chunked = chunked.withColumn("n_chunks", F.count("*").over(grp)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
