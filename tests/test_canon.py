@@ -161,10 +161,11 @@ def test_distributed_cc_nonconvergence_raises(spark):
         canon._distributed_cc(nodes, edges, max_iter=0)
 
 
-def test_driver_and_distributed_cc_agree(spark):
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_driver_and_distributed_cc_agree(spark, seed):
     import random
 
-    rng = random.Random(7)
+    rng = random.Random(seed)
     nodes = [(f"n{i:03d}",) for i in range(120)]
     edges = [(f"n{rng.randrange(120):03d}", f"n{rng.randrange(120):03d}")
              for _ in range(80)]
