@@ -105,28 +105,45 @@ def _rewrite_join(props: DataFrame, mapping: DataFrame) -> DataFrame:
     zips its own (surfaces, reps) into a local dict. Byte-equal to the
     broadcast path (asserted in tests); costs two O(mentions) shuffles + one
     O(rows) join that the broadcast path avoids, which is why broadcast stays
-    the default below the cap."""
-    keyed = (
-        props.select("url", "warc_ts", "content_sha", "pred", "obj", "surfaces")
-        # localCheckpoint pins partitions so the id is stable across the
-        # multiple consumptions below (monotonically_increasing_id is only
-        # deterministic for a fixed partition layout)
-        .withColumn("_rid", F.monotonically_increasing_id())
-        .localCheckpoint()
-    )
-    ex = keyed.select("_rid", F.posexplode("surfaces").alias("_pos", "surface"))
+    the default below the cap.
+
+    Row identity is the fact's NATURAL key (url, warc_ts, content_sha, pred)
+    — unique per fact row by construction (the extractor emits one fact per
+    crawl x category). Earlier versions pinned a synthetic
+    monotonically_increasing_id with localCheckpoint; that stored the full
+    proponent slice in NON-REPLICATED executor memory, so on the very path
+    that only engages for huge corpora a single executor loss killed the job.
+    With the natural key both consumptions of ``keyed`` below are plain
+    deterministic recomputes (upstream is persisted facts or staged parquet),
+    fully lineage-recoverable. The rep-array agg uses collect_set so even an
+    exact-duplicate fact row (same natural key, same payload) reassembles the
+    correct array instead of doubling positions."""
+    nk = ["url", "warc_ts", "content_sha", "pred"]
+    keyed = props.select(*nk, "obj", "surfaces")
+    ex = keyed.select(*nk, F.posexplode("surfaces").alias("_pos", "surface"))
     diff = mapping.filter(F.col("surface") != F.col("rep"))
     resolved = ex.join(diff, "surface", "left").select(
-        "_rid", "_pos", F.coalesce("rep", "surface").alias("rep")
+        *nk, "_pos", F.coalesce("rep", "surface").alias("rep")
     )
     reps = (
-        resolved.groupBy("_rid")
-        .agg(F.array_sort(F.collect_list(F.struct("_pos", "rep"))).alias("pr"))
-        .select("_rid", F.transform("pr", lambda x: x["rep"]).alias("_reps"))
+        resolved.groupBy(*nk)
+        .agg(F.array_sort(F.collect_set(F.struct("_pos", "rep"))).alias("pr"))
+        .select(
+            *[F.col(c).alias(f"_r_{c}") for c in nk],
+            F.transform("pr", lambda x: x["rep"]).alias("_reps"),
+        )
     )
+    # null-safe equi-join: warc_ts/content_sha are nullable, and a plain
+    # column join would drop null-keyed rows' reps (leaving them silently
+    # unrewritten). EqualNullSafe keys still hash-partition, so this stays a
+    # shuffle hash/sort-merge join, never a cartesian.
+    cond = None
+    for c in nk:
+        e = keyed[c].eqNullSafe(reps[f"_r_{c}"])
+        cond = e if cond is None else (cond & e)
     return (
-        keyed.join(reps, "_rid", "left")
-        .select("url", "warc_ts", "content_sha", "pred", "obj", "surfaces", "_reps")
+        keyed.join(reps, cond, "left")
+        .select(*nk, "obj", "surfaces", "_reps")
         .mapInPandas(_rewrite_zip_gen, schema=_REWRITE_SCHEMA)
     )
 

@@ -132,6 +132,27 @@ def section_bodies(categorized: DataFrame, page_text: DataFrame) -> DataFrame:
 
 _CHUNK_SCHEMA = T.ArrayType(T.StringType())
 
+# Full identity of one section of one crawl: url alone is NOT unique (re-crawl
+# keeps the url, changes warc_ts/content_sha), and (url, category) is not
+# either (two sections can categorize identically). Every retrieval-stage
+# group/window keys on all five.
+_SECTION_KEYS = ("url", "warc_ts", "content_sha", "category", "sec_idx")
+
+# Persisted chunk frames created by _chunked_single_topk, kept so the
+# cross-validation path can release executor memory deterministically.
+_CACHED_CHUNKS: list[DataFrame] = []
+
+
+def release_context_caches() -> None:
+    """Unpersist every chunk cache created by the relational retrieval path.
+
+    The relational contexts builders persist the exploded-chunk frame because
+    the single- and multi-chunk branches both consume it, and the branches are
+    returned lazy. Callers (parity tests, cross-validation runs) should call
+    this once the returned DataFrames have been materialized."""
+    while _CACHED_CHUNKS:
+        _CACHED_CHUNKS.pop().unpersist()
+
 
 @F.pandas_udf(_CHUNK_SCHEMA)
 def _chunks_udf(body: pd.Series) -> pd.Series:
@@ -151,28 +172,30 @@ def _score_udf(chunk: pd.Series, category: pd.Series) -> pd.Series:
 
 
 def _chunked_single_topk(bodies: DataFrame):
-    """Shared retrieval prefix: chunk-explode, per-(url, category) counts,
-    single-chunk fast path, and the top-ceil(n/2) retrieval window over the
-    scored multi-chunk groups. Returns (single_contexts, kept_topk_rows)."""
+    """Shared retrieval prefix: chunk-explode, per-section counts, single-chunk
+    fast path, and the top-ceil(n/2) retrieval window over the scored
+    multi-chunk groups. Returns (single_contexts, kept_topk_rows)."""
     from pyspark import StorageLevel
 
     chunked = bodies.select(
         "url", "warc_ts", "content_sha", "category", "sec_idx",
         F.posexplode(_chunks_udf("body")).alias("chunk_id", "chunk"),
     )
-    # per SECTION, not per (url, category): two sections of one document can
-    # categorize identically, and merging them would interleave chunk_ids
-    # from different bodies into one garbled context (golden = one context
-    # per section)
-    grp = Window.partitionBy("url", "category", "sec_idx")
+    # per SECTION OF ONE CRAWL, not per (url, category): two sections of one
+    # document can categorize identically, and a re-crawled url carries two
+    # page versions whose sec_idx values collide — merging either would
+    # interleave chunk_ids from different bodies into one garbled context
+    # (golden = one context per section per crawl). Keys mirror contexts()'s
+    # rejoin keys exactly.
+    grp = Window.partitionBy(*_SECTION_KEYS)
     # persisted: the single-chunk and multi-chunk branches both consume it.
-    # The handle is never unpersisted (the branches are returned lazy, so
-    # there is no safe unpersist point); the cache lives until LRU eviction
-    # or session end — acceptable for the relational cross-validation path
-    # (the fused kernel is the production path and takes no cache)
+    # The branches are returned lazy, so there is no in-function unpersist
+    # point; the handle is tracked so release_context_caches() can drop it
+    # once the caller has materialized both branches
     chunked = chunked.withColumn("n_chunks", F.count("*").over(grp)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _CACHED_CHUNKS.append(chunked)
     single = chunked.filter(F.col("n_chunks") <= 1).select(
         "url", "warc_ts", "content_sha", "category",
         F.regexp_replace("chunk", _STRIP_RE, "").alias("context"),
@@ -281,7 +304,7 @@ def contexts_refined(
     if mode not in ("best1", "redundant"):
         raise ValueError(f"unknown mode {mode!r}")
     single, kept = _chunked_single_topk(bodies)
-    refined = kept.groupBy("url", "category", "sec_idx").applyInPandas(
+    refined = kept.groupBy(*_SECTION_KEYS).applyInPandas(
         _refine_group_fn(mode, threshold), schema=_CTX_SCHEMA
     )
     return single.unionByName(refined)

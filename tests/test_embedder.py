@@ -16,6 +16,7 @@ from kgx import embedder, fixtures, kernel, sections, textextract
 def _reset_factory():
     yield
     embedder.set_model_factory(None)
+    sections.release_context_caches()
 
 
 def test_fallback_is_hash_embed_byte_identical():

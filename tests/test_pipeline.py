@@ -284,6 +284,10 @@ def test_join_rewrite_edge_shapes(spark, monkeypatch):
         ("u3", ts, "s3", "project_proponents",
          obj_of(["Ünïcode Äß GmbH"]), None, ["Ünïcode Äß GmbH"]),
         ("u4", ts, "s4", "project_location", '{"country": "X"}', None, None),
+        # null warc_ts AND null content_sha: the natural-key rewrite join must
+        # be null-safe or this row silently loses its reps (stays unrewritten)
+        ("u5", None, None, "project_proponents",
+         obj_of(["ACME CORP"]), None, ["ACME CORP"]),
     ]
     facts = spark.createDataFrame(rows, FACTS)
     mapping = spark.createDataFrame(
@@ -304,6 +308,7 @@ def test_join_rewrite_edge_shapes(spark, monkeypatch):
     assert by_url["u2"] == "[]"
     assert "e.V." in by_url["u3"]
     assert by_url["u4"] == '{"country": "X"}'
+    assert by_url["u5"] == obj_of(["Acme Corp"])
 
 
 def test_broadcast_byte_budget_routes_to_join_path(spark, monkeypatch):
@@ -388,6 +393,82 @@ def test_empty_body_section_emits_empty_context(spark):
                 [{"url": "https://t.example.com/proj/000043", "text": text}])}
     assert got == gold
     assert any(ctx == "" for _, ctx in got)
+
+
+@pytest.fixture(autouse=True)
+def _release_ctx_caches():
+    """Relational retrieval persists its chunk frame; drop it after each test
+    so the suite never accumulates executor-memory caches."""
+    yield
+    sections.release_context_caches()
+
+
+def test_recrawled_url_retrieval_keeps_crawls_separate(spark):
+    """Two crawls of one url whose same-index section categorizes identically
+    must emit one context per crawl, each computed only from its own chunks —
+    through ALL THREE retrieval modes. A (url, category, sec_idx) window
+    merges the crawls: n_chunks counts across both and top-ceil(n/2)
+    interleaves chunks from different page versions (ADVICE r4)."""
+    import datetime
+
+    para_a = "alpha fact sentence about the project proponent entity. " * 50
+    para_b = "bravo narrative with entirely different wording throughout. " * 50
+
+    def page(marker, para):
+        html = (
+            "<html><body><h1>1. PROJECT DETAILS</h1>"
+            "<h2>1.1 PROJECT PROPONENT (S)</h2>"
+            f"<p>{'</p><p>'.join(f'{marker} chunk {i}. {para}' for i in range(4))}</p>"
+            "</body></html>"
+        ).encode()
+        return html, kernel.html_to_text(html)
+
+    url = "https://t.example.com/proj/000099"
+    h1, t1 = page("first", para_a)
+    h2, t2 = page("second", para_b)
+    rows = [
+        {"url": url, "warc_ts": datetime.datetime(2024, 1, 1), "html": h1,
+         "text": t1, "lang": "en"},
+        {"url": url, "warc_ts": datetime.datetime(2024, 6, 1), "html": h2,
+         "text": t2, "lang": "en"},
+    ]
+    kdf = textextract.kernel_pass(spark.createDataFrame(pd.DataFrame(rows)))
+
+    def gold(text, fn):
+        sec = [s for s in kernel.sections_from_text(text)
+               if kernel.categorize_heading(s["title"]) == "project_proponents"][0]
+        body = text[sec["body_off"]:sec["end_off"]].strip()
+        assert len(kernel.chunk_text(body)) > 2, "fixture must be multi-chunk"
+        return fn(body, "project_proponents")
+
+    for build, fn in [
+        (lambda: sections.build_contexts(spark, kdf), kernel.select_context),
+        (lambda: sections.build_contexts_refined(spark, kdf, mode="redundant"),
+         kernel.select_context_redundant),
+        (lambda: sections.build_contexts_refined(spark, kdf, mode="best1"),
+         kernel.select_context_best1),
+    ]:
+        got = {(str(r.warc_ts), r.category, r.context) for r in build().collect()}
+        want = {
+            ("2024-01-01 00:00:00", "project_proponents", gold(t1, fn)),
+            ("2024-06-01 00:00:00", "project_proponents", gold(t2, fn)),
+        }
+        assert got == want
+
+
+def test_release_context_caches_unpersists(spark, kernel_df):
+    """build_contexts_refined persists the exploded-chunk frame; after
+    materialization + release_context_caches() no retrieval cache may remain
+    in executor storage (VERDICT r4 #7)."""
+    sections.release_context_caches()
+    storage = spark.sparkContext._jsc.sc().getRDDStorageInfo
+    before = len(storage())
+    ctx = sections.build_contexts_refined(spark, kernel_df, mode="redundant")
+    ctx.count()
+    assert sections._CACHED_CHUNKS, "retrieval path no longer tracks its cache"
+    sections.release_context_caches()
+    assert not sections._CACHED_CHUNKS
+    assert len(storage()) <= before
 
 
 def test_recrawled_url_relational_equals_fused(spark):
