@@ -145,6 +145,7 @@ class TripleStore:
         metrics: dict,
         content: DataFrame | None = None,
         epoch: int | None = None,
+        stream_id: str | None = None,
     ) -> str:
         """Atomically materialize one commit unit: data rename, content-sha
         sidecar, then manifest (the manifest is the commit point; anything
@@ -159,7 +160,14 @@ class TripleStore:
         ``epoch``: optional streaming micro-batch id recorded in the manifest
         — the idempotence key that lets a replayed foreachBatch epoch (crash
         between this commit and the stream's own commit log) be detected and
-        skipped instead of double-committed."""
+        skipped instead of double-committed.
+
+        ``stream_id``: the streaming query id that produced ``epoch`` (from
+        the stream checkpoint's metadata). Epoch numbering restarts at 0 when
+        a stream checkpoint is rebuilt, so a bare epoch id is only unique
+        WITHIN one stream run — scoping the replay guard by stream id keeps a
+        rebuilt checkpoint's genuinely-new batch 0 from colliding with an old
+        run's committed epoch 0 (which silently dropped its data)."""
         unit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         final_dir = os.path.join(self.data_dir, f"unit={unit_id}")
         tmp_dir = os.path.join(self.root, f"_tmp-{unit_id}")
@@ -192,19 +200,40 @@ class TripleStore:
         }
         if epoch is not None:
             manifest["epoch"] = epoch
+            if stream_id is not None:
+                manifest["stream_id"] = stream_id
         self._write_manifest(manifest)
         return unit_id
 
-    def committed_epochs(self) -> set[int]:
-        """Streaming epochs already snapshot-committed (live manifests;
-        compaction folds its victims' epochs into the merged manifest so the
-        replay guard survives maintenance)."""
-        out: set[int] = set()
+    def committed_epoch_keys(self) -> set[tuple[str | None, int]]:
+        """(stream_id, epoch) pairs already snapshot-committed, from live
+        manifests; compaction folds its victims' keys into the merged manifest
+        so the replay guard survives maintenance. Legacy manifests that
+        recorded a bare epoch (or compacted `epochs` lists) yield a None
+        stream_id, which is_epoch_committed treats as matching ANY run."""
+        out: set[tuple[str | None, int]] = set()
         for m in self.manifests():
             if "epoch" in m:
-                out.add(m["epoch"])
-            out.update(m.get("epochs", []))
+                out.add((m.get("stream_id"), m["epoch"]))
+            out.update((None, e) for e in m.get("epochs", []))
+            out.update((s, e) for s, e in m.get("epoch_keys", []))
         return out
+
+    def committed_epochs(self) -> set[int]:
+        """Streaming epochs already snapshot-committed, across all stream
+        runs (use is_epoch_committed for the run-scoped replay guard)."""
+        return {e for _, e in self.committed_epoch_keys()}
+
+    def is_epoch_committed(self, epoch: int, stream_id: str | None = None) -> bool:
+        """Replay-guard probe, scoped to one stream run: True when ``epoch``
+        was committed by the run identified by ``stream_id``, or by a legacy
+        manifest that recorded no stream id (conservatively treated as this
+        run — the pre-scoping behavior). A DIFFERENT run's epoch of the same
+        number does not match: after a stream checkpoint rebuild epoch ids
+        restart at 0, and treating the old run's epoch 0 as 'already
+        committed' silently discarded the new batch's data."""
+        keys = self.committed_epoch_keys()
+        return (stream_id, epoch) in keys or (None, epoch) in keys
 
     def _next_seq(self) -> int:
         """max(existing seq) + 1 — NOT len(manifests): a retried commit or a
@@ -333,15 +362,20 @@ class TripleStore:
                 agg = merged_metrics.setdefault(pred, {"rows": 0, "violations": 0})
                 agg["rows"] += v.get("rows", 0)
                 agg["violations"] += v.get("violations", 0)
-        epochs = sorted(
-            {e for m in victims
-             for e in ([m["epoch"]] if "epoch" in m else m.get("epochs", []))}
-        )
+        epoch_keys: set[tuple[str | None, int]] = set()
+        for m in victims:
+            if "epoch" in m:
+                epoch_keys.add((m.get("stream_id"), m["epoch"]))
+            epoch_keys.update((None, e) for e in m.get("epochs", []))
+            epoch_keys.update((s, e) for s, e in m.get("epoch_keys", []))
+        # sorted with None stream_ids first: tuples with None don't compare
+        # against strings, so key on ("" for None, epoch)
+        folded_keys = sorted(epoch_keys, key=lambda k: (k[0] or "", k[1]))
         manifest = {
             "unit": unit_id,
             "content_sidecar": True,
             "seq": max(m.get("seq", 0) for m in victims),
-            **({"epochs": epochs} if epochs else {}),
+            **({"epoch_keys": [list(k) for k in folded_keys]} if folded_keys else {}),
             "buckets": sorted({b for m in victims for b in m["buckets"]}),
             "metrics": merged_metrics,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -451,17 +485,7 @@ class TripleStore:
                         shutil.rmtree(p, ignore_errors=True)
                         removed += 1
 
-        ent_dirs = sorted(
-            d for d in os.listdir(self.entities_dir) if not d.startswith("_")
-        )
-        compacted = 0
-        if len(ent_dirs) > 1:
-            merged = self.known_entities(spark)
-            self.save_entities(merged)
-            for d in ent_dirs:
-                shutil.rmtree(os.path.join(self.entities_dir, d),
-                              ignore_errors=True)
-            compacted = len(ent_dirs)
+        compacted = self._fold_entities(spark)
         return {"orphans_removed": removed, "entity_dirs_compacted": compacted}
 
     def _content_df(self, spark: SparkSession, ms: list[dict]) -> DataFrame | None:
@@ -545,11 +569,45 @@ class TripleStore:
             return None
         return spark.read.parquet(*parts).select("surface", "rep").distinct()
 
-    def save_entities(self, mapping: DataFrame) -> None:
+    def save_entities(
+        self, mapping: DataFrame, fold_max_dirs: int | None = None
+    ) -> None:
+        """Persist a (surface, rep) dictionary snapshot as a new directory.
+
+        ``fold_max_dirs``: when set, and the snapshot count now exceeds it,
+        fold every snapshot into ONE directory. save_entities appends one dir
+        per run/epoch and known_entities unions them all, so a long-running
+        stream that never calls vacuum() would otherwise accumulate O(epochs)
+        dirs and re-union them every batch — the fold bounds both the dir
+        count and the per-probe read to O(fold_max_dirs)."""
         key = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         tmp = os.path.join(self.root, f"_ent-tmp-{key}")
         mapping.select("surface", "rep").write.mode("overwrite").parquet(tmp)
         os.rename(tmp, os.path.join(self.entities_dir, key))
+        if fold_max_dirs is not None:
+            n = sum(
+                1 for d in os.listdir(self.entities_dir) if not d.startswith("_")
+            )
+            if n > fold_max_dirs:
+                self._fold_entities(mapping.sparkSession)
+
+    def _fold_entities(self, spark: SparkSession) -> int:
+        """Rewrite the distinct union of every entity snapshot into ONE
+        directory (write-new-then-delete-old — a crash between the two leaves
+        duplicates, which the reader's distinct() tolerates). Returns the
+        number of directories folded away."""
+        import shutil
+
+        ent_dirs = sorted(
+            d for d in os.listdir(self.entities_dir) if not d.startswith("_")
+        )
+        if len(ent_dirs) <= 1:
+            return 0
+        merged = self.known_entities(spark)
+        self.save_entities(merged)
+        for d in ent_dirs:
+            shutil.rmtree(os.path.join(self.entities_dir, d), ignore_errors=True)
+        return len(ent_dirs)
 
     def pending(self, pages: DataFrame) -> tuple[DataFrame, list[int]]:
         """Resume filter: drop pages whose bucket already committed."""

@@ -21,15 +21,109 @@ because the batch resume filter can't see stream-consumed files.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kgx import canon, extract, pipeline
 from kgx.schema import PAGES
 
+# entity-dictionary snapshots are folded into one dir past this count, so an
+# un-vacuumed long-running stream holds O(1) dirs, not O(epochs)
+ENTITY_FOLD_MAX_DIRS = 16
+
+
+def _stream_run_id(store) -> str | None:
+    """The streaming query id from the stream checkpoint's metadata file, or
+    None when no checkpoint exists yet. Spark persists this id for the life
+    of the checkpoint directory and mints a fresh one when the directory is
+    rebuilt — exactly the scoping the epoch replay guard needs (epoch
+    numbering restarts with the checkpoint, so the bare epoch id is only
+    unique within one id's run)."""
+    p = os.path.join(store.root, "stream_checkpoint", "metadata")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f).get("id")
+
+
+class _EpochCaches:
+    """Cross-epoch caches for ONE ingest run: the committed-content sha set
+    and the entity dictionary, held as (persisted) DataFrames and extended
+    incrementally per micro-batch instead of re-read from the store's
+    sidecars / entity dirs on every epoch (round-4 review: the per-epoch
+    probe was metadata-sized but still O(units) forever).
+
+    The content cache is re-based from the sidecars every REBASE_EVERY
+    extensions: the per-epoch extension is union + persist, so re-basing
+    bounds the union-chain lineage depth AND self-heals the cache from the
+    durable sidecars after executor loss (persisted blocks are recomputable,
+    but a 10^4-union lineage is not a plan you want to recompute)."""
+
+    REBASE_EVERY = 32
+
+    def __init__(self):
+        self._content: DataFrame | None = None
+        self._content_loaded = False
+        self._content_depth = 0
+        self.entities: DataFrame | None = None
+        self._entities_loaded = False
+
+    def _swap_content(self, df: DataFrame | None) -> None:
+        from pyspark import StorageLevel
+
+        old = self._content
+        if df is not None:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            df.count()  # materialize BEFORE dropping the cache it derives from
+        self._content = df
+        if old is not None:
+            old.unpersist()
+
+    def known_content(self, spark: SparkSession, store) -> DataFrame | None:
+        if not self._content_loaded or self._content_depth >= self.REBASE_EVERY:
+            self._swap_content(store.known_content(spark))
+            self._content_loaded = True
+            self._content_depth = 0
+        return self._content
+
+    def extend_content(self, batch_shas: DataFrame) -> None:
+        """Fold one committed batch's shas into the cache (called only after
+        the commit lands, so the cache never claims uncommitted content)."""
+        if self._content is None:
+            self._swap_content(batch_shas)
+        else:
+            self._swap_content(self._content.unionByName(batch_shas))
+            self._content_depth += 1
+        self._content_loaded = True
+
+    def known_entities(self, spark: SparkSession, store) -> DataFrame | None:
+        if not self._entities_loaded:
+            self.entities = store.known_entities(spark)
+            self._entities_loaded = True
+        return self.entities
+
+    def set_entities(self, mapping: DataFrame) -> None:
+        """The epoch's freshly-computed mapping supersedes the cache whole:
+        canonical_mapping(known=...) carries every known surface AND rep into
+        its node set, so its output is a superset of the prior dictionary."""
+        self.entities = mapping
+        self._entities_loaded = True
+
+    def release(self) -> None:
+        self._swap_content(None)
+        self.entities = None
+
 
 def ingest_available_now(
-    spark: SparkSession, pages_dir: str, store, dedup_content: bool = False
+    spark: SparkSession,
+    pages_dir: str,
+    store,
+    dedup_content: bool = False,
+    allow_new_checkpoint: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> list[str]:
     """Consume all currently-available page files into the store; returns unit ids.
 
@@ -39,32 +133,62 @@ def ingest_available_now(
     URL, or reposted in a later wave — is skipped BEFORE the extraction
     kernel runs, and within a batch only the min-url copy of each distinct
     content survives. The committed-content check is a left anti join against
-    the store's per-unit content-sha SIDECARS (written at commit time), so
-    each micro-batch probe costs O(units x distinct shas) over slim one-column
-    parquet — never a rescan of the triple data, which on a long-running
-    ingest grew quadratic-ish (round-3 review). Every surviving page's sha is
-    registered at commit via commit(content=...), INCLUDING pages that yield
-    zero facts — deriving the known set from triples alone re-extracted
-    zero-fact pages on every later wave.
-    """
+    an in-run cache seeded from the store's per-unit content-sha SIDECARS and
+    extended with each committed batch — the sidecars are read once per run
+    (plus periodic re-bases), not once per micro-batch. Every surviving
+    page's sha is registered at commit via commit(content=...), INCLUDING
+    pages that yield zero facts — deriving the known set from triples alone
+    re-extracted zero-fact pages on every later wave.
+
+    ``allow_new_checkpoint``: a store with committed streaming epochs but NO
+    stream checkpoint means the checkpoint directory was deleted or the store
+    was moved — restarting cold re-reads every input file, and (without
+    content dedup) re-commits it. Refused by default; pass True to proceed
+    deliberately (the epoch replay guard is scoped by stream run id, so the
+    new run's epochs never collide with the old run's — with
+    ``dedup_content=True`` the re-read deduplicates away instead of
+    double-committing).
+
+    ``max_files_per_trigger`` caps the files per micro-batch (Spark's
+    maxFilesPerTrigger; AvailableNow honors it and drains in several
+    batches) — the knob that keeps one giant backlog from becoming one giant
+    epoch at scale."""
     store.claim_mode("streaming")
+    if (
+        _stream_run_id(store) is None
+        and store.committed_epochs()
+        and not allow_new_checkpoint
+    ):
+        raise ValueError(
+            f"store at {store.root!r} has committed streaming epochs but no "
+            "stream checkpoint: the checkpoint directory was deleted or the "
+            "store was moved. Starting a fresh checkpoint re-reads EVERY "
+            "input file; pass allow_new_checkpoint=True to proceed "
+            "(with dedup_content=True to avoid double-committing)."
+        )
     committed: list[str] = []
+    caches = _EpochCaches()
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        unit = _process_epoch(spark, store, batch_df, int(epoch_id),
-                              dedup_content)
+        unit = _process_epoch(
+            spark, store, batch_df, int(epoch_id), dedup_content,
+            stream_id=_stream_run_id(store), caches=caches,
+        )
         if unit is not None:
             committed.append(unit)
 
+    reader = spark.readStream.schema(PAGES)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     q = (
-        spark.readStream.schema(PAGES)
-        .parquet(pages_dir)
+        reader.parquet(pages_dir)
         .writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", f"{store.root}/stream_checkpoint")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    caches.release()
     return committed
 
 
@@ -74,16 +198,26 @@ def _process_epoch(
     batch_df: DataFrame,
     epoch_id: int,
     dedup_content: bool,
+    stream_id: str | None = None,
+    caches: _EpochCaches | None = None,
 ) -> str | None:
     """One foreachBatch epoch: dedup (optional) -> extract -> canonicalize ->
     validate -> snapshot commit. Returns the unit id, or None when nothing
     was committed (empty/fully-deduped batch, or a REPLAYED epoch).
 
     Replay guard: foreachBatch is at-least-once — a crash between our
-    snapshot commit and the stream's commit log re-runs the epoch. The epoch
-    id recorded in the manifest makes the commit idempotent (module-level so
-    the guard is testable without crashing a live stream checkpoint)."""
-    if epoch_id in store.committed_epochs():
+    snapshot commit and the stream's commit log re-runs the epoch. The
+    (stream_id, epoch) pair recorded in the manifest makes the commit
+    idempotent WITHIN a stream run without poisoning a rebuilt checkpoint's
+    restarted epoch numbering (module-level so the guard is testable without
+    crashing a live stream checkpoint).
+
+    ``caches`` (optional, supplied by ingest_available_now) holds the
+    known-content and entity-dictionary DataFrames across epochs so the
+    store's sidecars / entity dirs are read once per run, not once per
+    micro-batch; None falls back to per-call store reads (the standalone
+    test/replay path)."""
+    if store.is_epoch_committed(epoch_id, stream_id):
         return None
     if not batch_df.take(1):
         return None
@@ -105,7 +239,11 @@ def _process_epoch(
         keyed = keyed.withColumn(
             "_rn", F.row_number().over(w)
         ).filter(F.col("_rn") == 1).drop("_rn")
-        known = store.known_content(spark)
+        known = (
+            caches.known_content(spark, store)
+            if caches is not None
+            else store.known_content(spark)
+        )
         if known is not None:
             keyed = keyed.join(known, "content_sha", "left_anti")
         # pin ONE execution of the dedup subplan (sha2 over full html +
@@ -121,15 +259,24 @@ def _process_epoch(
     mentions = facts.filter(F.col("pred") == "project_proponents").select(
         F.explode("surfaces").alias("surface")
     )
-    known = store.known_entities(spark)
+    known = (
+        caches.known_entities(spark, store)
+        if caches is not None
+        else store.known_entities(spark)
+    )
     mapping = canon.canonical_mapping(mentions, known=known).localCheckpoint()
-    store.save_entities(mapping)
+    store.save_entities(mapping, fold_max_dirs=ENTITY_FOLD_MAX_DIRS)
+    if caches is not None:
+        caches.set_entities(mapping)
     final = pipeline.canonicalize_proponents(facts, mapping)
     flagged, metrics = extract.validate_triples(pipeline._to_triples(final))
-    return store.commit(
+    unit = store.commit(
         flagged.drop("valid"), buckets=[], metrics=metrics,
-        content=batch_shas, epoch=epoch_id,
+        content=batch_shas, epoch=epoch_id, stream_id=stream_id,
     )
+    if caches is not None and batch_shas is not None:
+        caches.extend_content(batch_shas)
+    return unit
 
 
 def pages_stream(spark: SparkSession, pages_dir: str) -> DataFrame:

@@ -336,6 +336,183 @@ def test_replayed_epoch_does_not_double_commit(spark, tmp_path):
     assert streaming._process_epoch(spark, store, batch, 1, False) is None
 
 
+def test_checkpoint_rebuild_guard_and_stream_scoped_epochs(spark, tmp_path):
+    """A store with committed epochs but NO stream checkpoint (the checkpoint
+    dir was deleted/rebuilt) must refuse to start by default — epoch
+    numbering restarts at 0 and the bare-epoch replay guard silently dropped
+    genuinely-new batches whose ids collided (ADVICE r4). With
+    allow_new_checkpoint=True the run proceeds under a FRESH stream id, and
+    new data IS committed despite the epoch-id collision."""
+    import shutil
+
+    import pytest
+
+    pages = fixtures.gen_pages(8)
+    pages_dir = str(tmp_path / "inbox")
+    _write_pages(pages[:5], f"{pages_dir}/part-0.parquet")
+    store = TripleStore(str(tmp_path / "store_rb"), n_buckets=4)
+    units1 = streaming.ingest_available_now(spark, pages_dir, store,
+                                            dedup_content=True)
+    assert units1
+    # manifests record the stream run id alongside the epoch
+    assert all(
+        "stream_id" in m for m in store.manifests() if "epoch" in m
+    )
+    n1 = store.read(spark).count()
+
+    # checkpoint wiped, store kept: refuse cold start
+    shutil.rmtree(os.path.join(store.root, "stream_checkpoint"))
+    with pytest.raises(ValueError, match="no stream checkpoint"):
+        streaming.ingest_available_now(spark, pages_dir, store,
+                                       dedup_content=True)
+
+    # deliberate restart: the fresh run's epoch 0 must NOT be swallowed by
+    # the old run's committed epoch 0 — the new pages land, the re-read old
+    # pages dedup away by content
+    _write_pages(pages[5:], f"{pages_dir}/part-1.parquet")
+    units2 = streaming.ingest_available_now(
+        spark, pages_dir, store, dedup_content=True, allow_new_checkpoint=True
+    )
+    assert units2
+    import pandas as pd
+
+    from kgx import kernel, pipeline
+
+    subs = {r.subj for r in store.read(spark).select("subj").distinct().collect()}
+    oneshot = pipeline.build_triples(spark, spark.createDataFrame(pd.DataFrame(pages)))
+    want_subs = {r.subj for r in oneshot.select("subj").distinct().collect()}
+    # the new wave's extractable pages all landed (page 5 yields zero triples
+    # even in a one-shot batch — compare against that, not against len(pages))
+    assert subs == want_subs
+    import hashlib
+
+    known = {r.content_sha for r in store.known_content(spark).collect()}
+    for p in pages[5:]:
+        assert hashlib.sha256(p["html"]).hexdigest() in known
+    # and nothing double-committed
+    assert store.read(spark).count() == oneshot.count() > n1
+    epochs = [m["epoch"] for m in store.manifests() if "epoch" in m]
+    assert len(epochs) == len(store.committed_epoch_keys())
+    assert 0 in [e for _, e in store.committed_epoch_keys()]
+
+
+def test_epoch_caches_read_store_once_per_run(spark, tmp_path):
+    """Across the micro-batches of ONE ingest run, the committed-content and
+    entity-dictionary probes must hit the store once (seed) and then extend
+    incrementally — not re-read every sidecar/entity dir per epoch (VERDICT
+    r4 #2). Cross-epoch dedup must still hold through the cache."""
+    pages = fixtures.gen_pages(9)
+    pages_dir = str(tmp_path / "inbox")
+    # three files -> three micro-batches under maxFilesPerTrigger=1; the last
+    # carries a mirror of file-0 content that must dedup via the CACHE (its
+    # sha was committed two epochs earlier in the same run)
+    mirror = {**pages[0], "url": "https://mirror.example/proj/8881"}
+    _write_pages(pages[:3], f"{pages_dir}/part-0.parquet")
+    _write_pages(pages[3:6], f"{pages_dir}/part-1.parquet")
+    _write_pages(pages[6:] + [mirror], f"{pages_dir}/part-2.parquet")
+
+    store = TripleStore(str(tmp_path / "store_cache"), n_buckets=4)
+    calls = {"content": 0, "entities": 0}
+    orig_kc, orig_ke = store.known_content, store.known_entities
+    store.known_content = lambda s: (
+        calls.__setitem__("content", calls["content"] + 1) or orig_kc(s)
+    )
+    store.known_entities = lambda s: (
+        calls.__setitem__("entities", calls["entities"] + 1) or orig_ke(s)
+    )
+    units = streaming.ingest_available_now(
+        spark, pages_dir, store, dedup_content=True, max_files_per_trigger=1
+    )
+    assert len(units) == 3, "maxFilesPerTrigger=1 must give one epoch per file"
+    assert calls["content"] == 1, f"sidecars re-read per epoch: {calls}"
+    assert calls["entities"] == 1, f"entity dirs re-read per epoch: {calls}"
+
+    import pandas as pd
+
+    from kgx import kernel, pipeline
+
+    subs = {r.subj for r in store.read(spark).select("subj").distinct().collect()}
+    assert kernel.page_id_from_url(mirror["url"]) not in subs
+    oneshot = pipeline.build_triples(spark, spark.createDataFrame(pd.DataFrame(pages)))
+    assert subs == {r.subj for r in oneshot.select("subj").distinct().collect()}
+
+
+def test_entity_dirs_stay_bounded_across_epochs(spark, tmp_path, monkeypatch):
+    """save_entities folds snapshots past ENTITY_FOLD_MAX_DIRS so an
+    un-vacuumed stream holds O(1) entity dirs, with the folded dictionary
+    byte-equal to the union of its inputs."""
+    import pandas as pd
+
+    monkeypatch.setattr(streaming, "ENTITY_FOLD_MAX_DIRS", 3)
+    pages = fixtures.gen_pages(12)
+    store = TripleStore(str(tmp_path / "store_fold"), n_buckets=4)
+    store.claim_mode("streaming")
+
+    def ent_dirs():
+        return [d for d in os.listdir(os.path.join(store.root, "entities"))
+                if not d.startswith("_")]
+
+    prev_surfaces: set[str] = set()
+    for ep in range(6):
+        batch = spark.createDataFrame(pd.DataFrame(pages[2 * ep: 2 * ep + 2]))
+        assert streaming._process_epoch(spark, store, batch, ep, False,
+                                        stream_id="run-a") is not None
+        assert len(ent_dirs()) <= 4, f"epoch {ep}: {len(ent_dirs())} dirs"
+        # folding must never LOSE dictionary entries: the surface set is
+        # monotone nondecreasing across epochs and folds
+        surfaces = {r.surface for r in store.known_entities(spark).collect()}
+        assert surfaces >= prev_surfaces, prev_surfaces - surfaces
+        prev_surfaces = surfaces
+    assert prev_surfaces
+
+
+def test_epoch_guard_under_random_compact_vacuum_interleaving(spark, tmp_path):
+    """Property-style sequence (seeded): commits, replays, compactions and
+    vacuums in random order — committed_epochs() must be monotone
+    nondecreasing, a replayed epoch must never double-commit (row count
+    unchanged), and the guard must survive every compaction/vacuum (VERDICT
+    r4 #8)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(5)
+    pages = fixtures.gen_pages(16)
+    store = TripleStore(str(tmp_path / "store_prop"), n_buckets=4)
+    store.claim_mode("streaming")
+
+    next_epoch = 0
+    committed: list[int] = []
+    prev_epochs: set[int] = set()
+    ops = (["commit"] * 7 + ["replay"] * 4 + ["compact"] * 2 + ["vacuum"] * 2)
+    rng.shuffle(ops)
+    for op in ops:
+        if op == "commit":
+            i = (2 * next_epoch) % 14
+            batch = spark.createDataFrame(pd.DataFrame(pages[i: i + 2]))
+            unit = streaming._process_epoch(
+                spark, store, batch, next_epoch, False, stream_id="run-p")
+            assert unit is not None
+            committed.append(next_epoch)
+            next_epoch += 1
+        elif op == "replay" and committed:
+            ep = rng.choice(committed)
+            i = (2 * ep) % 14
+            batch = spark.createDataFrame(pd.DataFrame(pages[i: i + 2]))
+            n_before = store.read(spark).count()
+            assert streaming._process_epoch(
+                spark, store, batch, ep, False, stream_id="run-p") is None
+            assert store.read(spark).count() == n_before
+        elif op == "compact":
+            store.compact(spark)
+        elif op == "vacuum":
+            store.vacuum(spark, grace_s=0.0)
+        now = store.committed_epochs()
+        assert now >= prev_epochs, f"guard lost epochs after {op}: {prev_epochs - now}"
+        assert now == set(committed)
+        prev_epochs = now
+
+
 def test_exact_duplicate_rows_in_batch_survive_once(spark, tmp_path):
     """Two byte-identical (url, html) rows in one wave: dedup_content must
     keep exactly ONE copy (row_number semantics — a min-url equality filter
