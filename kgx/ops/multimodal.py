@@ -197,9 +197,20 @@ FRAMES = T.StructType(
 )
 
 
-def sample_frames(assets: DataFrame, fps: float = 1.0) -> DataFrame:
+def _digest_frame(payload: bytes, k: int) -> bytes:
+    """Default frame synthesizer: content-addressed fake frame bytes."""
+    return hashlib.sha256(payload + k.to_bytes(4, "big")).digest()
+
+
+def sample_frames(assets: DataFrame, fps: float = 1.0, frame_fn=None) -> DataFrame:
     """video assets -> one fake frame per sampled timestamp (UDTF shape:
-    one input row fans out to duration*fps output rows inside the batch)."""
+    one input row fans out to duration*fps output rows inside the batch).
+
+    ``frame_fn(payload, k) -> bytes`` overrides the frame synthesizer —
+    resolved on the driver and closure-captured, like decode_images'
+    ``decoder`` — so tests and the oracle query can substitute a closed-form
+    frame an independent engine can recompute."""
+    synth = frame_fn or _digest_frame
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -209,9 +220,7 @@ def sample_frames(assets: DataFrame, fps: float = 1.0) -> DataFrame:
                 for k in range(n_frames):
                     out["asset_id"].append(row.asset_id)
                     out["frame_idx"].append(k)
-                    out["frame"].append(
-                        hashlib.sha256(bytes(row.payload) + k.to_bytes(4, "big")).digest()
-                    )
+                    out["frame"].append(synth(bytes(row.payload), k))
             yield pd.DataFrame(out)
 
     return (
@@ -234,39 +243,46 @@ def _cyclic_decode(payload: bytes, meta: dict) -> np.ndarray:
     return buf[idx].reshape(h, w, 3)
 
 
-def m01_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """documents -> synthetic image assets -> decode_images -> per-image pixel
-    statistics, end-to-end through the real multimodal plumbing (binary
-    payloads, meta struct, Arrow batch decode), with a value-exact DuckDB
-    oracle: payload = UTF-8 bytes of the (ASCII-sanitized) first 256 chars of
-    each document, decoded cyclically to a (8+id%8) x (4+id%4) RGB buffer, so
-    pixel_sum = full_cycles * byte_sum + prefix_byte_sum — pure integer
-    arithmetic both engines compute exactly."""
+def _doc_assets(spark: SparkSession, sf: str, kind: str) -> DataFrame:
+    """Synthetic assets derived deterministically from the documents table:
+    payload = UTF-8 bytes of the (ASCII-sanitized) first 256 chars of each
+    document, dims (8+id%8) x (4+id%4), video duration 1+id%7 seconds — all
+    closed-form so an independent SQL engine can reconstruct every byte."""
     from kgx.ops import load
 
     d = load(spark, sf, "documents")
     s = F.regexp_replace(F.substring("text", 1, 256), "[^ -~]", "")
-    assets = (
+    return (
         d.filter(F.col("doc_id") < 64)
         .select(F.col("doc_id").alias("asset_id"), s.alias("s"))
         .filter(F.length("s") > 0)
         .select(
             "asset_id",
-            F.lit("image").alias("kind"),
+            F.lit(kind).alias("kind"),
             F.encode(F.col("s"), "UTF-8").alias("payload"),
             F.struct(
                 (F.lit(8) + F.col("asset_id") % 8).cast("int").alias("width"),
                 (F.lit(4) + F.col("asset_id") % 4).cast("int").alias("height"),
                 F.lit(None).cast("int").alias("sample_rate"),
-                F.lit(None).cast("double").alias("duration_s"),
-                F.lit("raw").alias("codec"),
+                (
+                    (F.lit(1) + F.col("asset_id") % 7).cast("double")
+                    if kind == "video"
+                    else F.lit(None).cast("double")
+                ).alias("duration_s"),
+                F.lit({"image": "raw", "video": "h264"}.get(kind, kind)).alias("codec"),
             ).alias("meta"),
         )
     )
-    lens = assets.select(
+
+
+def _asset_lens(assets: DataFrame) -> DataFrame:
+    return assets.select(
         "asset_id", F.octet_length("payload").cast("long").alias("n_bytes")
     )
-    dec = decode_images(assets, decoder=_cyclic_decode)
+
+
+def _pixel_stats(dec: DataFrame) -> DataFrame:
+    """(asset_id, width, height, pixels) -> integer pixel_sum per image."""
 
     def stats_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -279,10 +295,20 @@ def m01_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
                 out["pixel_sum"].append(int(buf.sum(dtype=np.int64)))
             yield pd.DataFrame(out)
 
-    st = dec.mapInPandas(
+    return dec.mapInPandas(
         stats_gen, schema="asset_id long, width long, height long, pixel_sum long"
     )
-    return st.join(F.broadcast(lens), "asset_id").select(
+
+
+def m01_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """documents -> synthetic image assets -> decode_images -> per-image pixel
+    statistics, end-to-end through the real multimodal plumbing (binary
+    payloads, meta struct, Arrow batch decode), with a value-exact DuckDB
+    oracle: the cyclic decode makes pixel_sum = full_cycles * byte_sum +
+    prefix_byte_sum — pure integer arithmetic both engines compute exactly."""
+    assets = _doc_assets(spark, sf, "image")
+    st = _pixel_stats(decode_images(assets, decoder=_cyclic_decode))
+    return st.join(F.broadcast(_asset_lens(assets)), "asset_id").select(
         F.col("asset_id").alias("doc_id"),
         "width",
         "height",
@@ -324,6 +350,140 @@ SELECT doc_id, width, height,
 FROM x
 """
 
+# --- m02: DuckDB-oracled frame sampling (UDTF fan-out) ------------------------------- #
+_FRAME_LEN = 32
+_FRAME_STRIDE = 7
+
+
+def _cyclic_frame(payload: bytes, k: int) -> bytes:
+    """SQL-mirrorable frame synthesizer: frame k = the 32 payload bytes
+    starting at offset 7k (cyclic). Unlike the default sha-digest frame this
+    has a closed form, so the fan-out AND the frame contents get a
+    value-exact oracle."""
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    idx = (k * _FRAME_STRIDE + np.arange(_FRAME_LEN, dtype=np.int64)) % len(buf)
+    return buf[idx].tobytes()
+
+
+def m02_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """documents -> synthetic video assets -> sample_frames -> per-frame byte
+    sums. Exercises the UDTF shape (one asset row fans out to duration*fps
+    frame rows inside the Arrow batch) end-to-end: the oracle independently
+    reconstructs both the fan-out (1 + doc_id % 7 frames at fps=1) and every
+    frame's bytes (cyclic 32-byte windows at stride 7), so a wrong frame
+    count, index, or slice all break the hash."""
+    assets = _doc_assets(spark, sf, "video")
+    frames = sample_frames(assets, fps=1.0, frame_fn=_cyclic_frame)
+
+    def sum_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "frame_idx": [], "frame_sum": []}
+            for row in pdf.itertuples(index=False):
+                buf = np.frombuffer(bytes(row.frame), dtype=np.uint8)
+                out["asset_id"].append(row.asset_id)
+                out["frame_idx"].append(int(row.frame_idx))
+                out["frame_sum"].append(int(buf.sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    st = frames.mapInPandas(
+        sum_gen, schema="asset_id long, frame_idx long, frame_sum long"
+    )
+    return st.join(F.broadcast(_asset_lens(assets)), "asset_id").select(
+        F.col("asset_id").alias("doc_id"),
+        "frame_idx",
+        (F.lit(1) + F.col("asset_id") % 7).cast("long").alias("n_frames"),
+        "n_bytes",
+        "frame_sum",
+    )
+
+
+M02_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_replace(substring(text, 1, 256), '[^ -~]', '', 'g') AS s
+  FROM documents
+  WHERE doc_id < 64
+),
+v AS (
+  SELECT doc_id, s, length(s) AS L, 1 + doc_id % 7 AS n_frames
+  FROM t WHERE length(s) > 0
+),
+g AS (
+  SELECT doc_id, s, L, n_frames, k
+  FROM v, range(0, 7) tk(k)
+  WHERE k < n_frames
+)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS frame_idx,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(L AS BIGINT) AS n_bytes,
+       CAST(SUM(unicode(substring(s, ((k * 7 + i) % L) + 1, 1))) AS BIGINT)
+           AS frame_sum
+FROM g, range(0, 32) ti(i)
+GROUP BY doc_id, k, n_frames, L
+"""
+
+
+# --- m03: DuckDB-oracled nearest-neighbor resize -------------------------------------- #
+_RESIZE_W = 8
+_RESIZE_H = 6
+
+
+def m03_resize_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """documents -> image assets -> cyclic decode -> resize_images(8x6,
+    nearest-neighbor) -> pixel statistics. The oracle recomputes every
+    resized pixel as payload[((y*sh//6)*sw + (x*sw//8))*3 + c mod L]: the
+    integer source-index arithmetic IS the nearest-neighbor resize, so a
+    wrong index map (off-by-one, x/y swap, channel misorder) breaks the
+    value hash."""
+    assets = _doc_assets(spark, sf, "image")
+    dec = decode_images(assets, decoder=_cyclic_decode)
+    st = _pixel_stats(resize_images(dec, _RESIZE_W, _RESIZE_H))
+    return st.join(F.broadcast(_asset_lens(assets)), "asset_id").select(
+        F.col("asset_id").alias("doc_id"),
+        "width",
+        "height",
+        "n_bytes",
+        "pixel_sum",
+        F.round(
+            F.col("pixel_sum") / (F.lit(_RESIZE_W * _RESIZE_H * 3)), 6
+        ).alias("mean_pixel"),
+    )
+
+
+M03_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_replace(substring(text, 1, 256), '[^ -~]', '', 'g') AS s
+  FROM documents
+  WHERE doc_id < 64
+),
+v AS (
+  SELECT doc_id, s, length(s) AS L,
+         8 + doc_id % 8 AS sw, 4 + doc_id % 4 AS sh
+  FROM t WHERE length(s) > 0
+),
+g AS (
+  SELECT doc_id, L,
+         SUM(unicode(substring(
+             s,
+             ((((y * sh) // 6) * sw + ((x * sw) // 8)) * 3 + c) % L + 1,
+             1))) AS ps
+  FROM v, range(0, 6) ty(y), range(0, 8) tx(x), range(0, 3) tc(c)
+  GROUP BY doc_id, L
+)
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS width,
+       CAST(6 AS BIGINT) AS height,
+       CAST(L AS BIGINT) AS n_bytes,
+       CAST(ps AS BIGINT) AS pixel_sum,
+       ROUND(CAST(ps AS DOUBLE) / 144, 6) AS mean_pixel
+FROM g
+"""
+
+
 QUERIES = {
     "m01_decode_stats": (m01_decode_stats, M01_SQL),
+    "m02_frame_sample": (m02_frame_sample, M02_SQL),
+    "m03_resize_stats": (m03_resize_stats, M03_SQL),
 }
