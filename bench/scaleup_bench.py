@@ -1,0 +1,151 @@
+"""One 10x scale-up datapoint for the most expensive headline queries.
+
+The per-round driver bench sits at sf0.1; this harness answers "does the
+PLAN survive a scale-up, not just the timing": it synthesizes a 10x corpus
+from sf0.1 (documents with per-replica text mutations so near-dup structure
+is preserved without exact-dup collapse; embeddings with a deterministic
+per-replica perturbation; lineitem replicated as-is) and runs
+t07_minhash_clusters, s03_ann_lsh and q01_pricing_summary at BOTH scales,
+recording wall time and the physical plan's Exchange count — a plan whose
+exchange count grows with the data would not survive 100 TB.
+
+Usage: python bench/scaleup_bench.py [cpus]
+Writes BENCH/scaleup_result.json; BENCH/BASELINE.md is curated by hand.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+SYNTH_VERSION = 1
+REPLICAS = 10
+
+
+def _synth_dir() -> str:
+    return f"/tmp/kgx_sf1_synth_r{REPLICAS}_v{SYNTH_VERSION}"
+
+
+def build_synth() -> str:
+    """10x sf0.1, deterministic, cached under /tmp."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = _synth_dir()
+    marker = os.path.join(out, "_SUCCESS_KGX")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    docs = pq.read_table(f"{SRC}/documents.parquet")
+    max_doc = max(docs.column("doc_id").to_pylist()) + 1
+    doc_parts = []
+    for k in range(REPLICAS):
+        ids = pa.array([i + k * max_doc for i in docs.column("doc_id").to_pylist()],
+                       pa.int64())
+        # per-replica token keeps replicas NEAR-duplicates of each other
+        # (MinHash still has real work) instead of exact duplicates the
+        # dedup prepass would collapse for free
+        texts = pa.array(
+            [f"{t} r{k}tok{i}" for i, t in zip(docs.column("doc_id").to_pylist(),
+                                               docs.column("text").to_pylist())]
+        )
+        doc_parts.append(pa.table({
+            "doc_id": ids, "text": texts,
+            "lang": docs.column("lang"), "source": docs.column("source"),
+            "n_chars": docs.column("n_chars"),
+        }))
+    pq.write_table(pa.concat_tables(doc_parts), f"{out}/documents.parquet",
+                   row_group_size=4096)
+
+    emb = pq.read_table(f"{SRC}/embeddings.parquet")
+    max_vec = max(emb.column("vec_id").to_pylist()) + 1
+    emb_parts = []
+    vecs = emb.column("embedding").to_pylist()
+    for k in range(REPLICAS):
+        ids = pa.array([i + k * max_vec for i in emb.column("vec_id").to_pylist()],
+                       pa.int64())
+        if k == 0:
+            pert = vecs
+        else:
+            # deterministic tiny rotation of the first coordinate: replicas
+            # stay in the same neighborhoods without exact vector ties
+            pert = [[v[0] + k * 1e-3] + v[1:] for v in vecs]
+        emb_parts.append(pa.table({
+            "vec_id": ids,
+            "embedding": pa.array(pert, pa.list_(pa.float32())),
+            "label": emb.column("label"),
+        }))
+    pq.write_table(pa.concat_tables(emb_parts), f"{out}/embeddings.parquet",
+                   row_group_size=4096)
+
+    li = pq.read_table(f"{SRC}/lineitem.parquet")
+    pq.write_table(pa.concat_tables([li] * REPLICAS), f"{out}/lineitem.parquet",
+                   row_group_size=65536)
+    # q-query loaders may touch the dimension tables; symlink the rest
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "events"):
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{t}.parquet", dst)
+    open(marker, "w").close()
+    return out
+
+
+def _exchanges(df) -> int:
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    return plan.count("Exchange")
+
+
+def main() -> None:
+    cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+
+    import __spark_entry__ as entry_mod
+
+    from kgx.session import get_spark
+
+    synth = build_synth()
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=2 * cpus,
+                      app_name="kgx-scaleup-bench")
+    # warm the worker pool + codegen once (same protocol as bench.py)
+    import pandas as pd
+
+    def _ident(bs):
+        for b in bs:
+            yield pd.DataFrame({"x": b["x"]})
+
+    spark.range(2 * cpus).selectExpr("CAST(id AS STRING) x").repartition(
+        2 * cpus).mapInPandas(_ident, "x string").count()
+
+    qs = entry_mod.queries()
+    result: dict = {"cpus": cpus, "replicas": REPLICAS, "queries": {}}
+    for name in ("q01_pricing_summary", "s03_ann_lsh", "t07_minhash_clusters"):
+        row: dict = {}
+        for label, sf in (("sf0.1", SRC), ("sf1_synth", synth)):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf)
+            n = df.count()
+            dt = round(time.perf_counter() - t0, 2)
+            row[label] = {"sec": dt, "rows": n, "exchanges": _exchanges(df)}
+        row["slowdown_x"] = round(
+            row["sf1_synth"]["sec"] / max(row["sf0.1"]["sec"], 1e-9), 2
+        )
+        result["queries"][name] = row
+        print(json.dumps({name: row}))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaleup_result.json", "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -728,7 +728,13 @@ def _driver_cc(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 
 def _large_star(e: DataFrame) -> DataFrame:
     """One large-star round: every node u connects each strictly-larger
-    neighbor to m = min(N(u) ∪ {u}). Edges in/out are unordered (p, q) pairs."""
+    neighbor to m = min(N(u) ∪ {u}). Edges in/out are unordered (p, q) pairs.
+
+    Shuffle shape: the u-keyed exchange is planned twice (groupBy + join) but
+    AQE's ReusedExchange executes it once; the output is NOT deduplicated —
+    the round-final distinct in _small_star dedups anyway, so each round pays
+    three real exchanges (two u-exchanges + one distinct) instead of four
+    (round-4 review)."""
     sym = e.select(F.col("p").alias("u"), F.col("q").alias("v")).unionAll(
         e.select(F.col("q").alias("u"), F.col("p").alias("v"))
     )
@@ -739,13 +745,14 @@ def _large_star(e: DataFrame) -> DataFrame:
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("p"), F.col("m").alias("q"))
         .filter(F.col("p") != F.col("q"))
-        .distinct()
     )
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     """One small-star round: orient edges large→small; every node u connects
-    its smaller neighbors (and itself) to m = min of those neighbors."""
+    its smaller neighbors (and itself) to m = min of those neighbors. The
+    trailing distinct is the round's ONLY dedup and also what the convergence
+    signature hashes."""
     oriented = e.select(
         F.greatest("p", "q").alias("u"), F.least("p", "q").alias("v")
     )
@@ -770,14 +777,25 @@ def _distributed_cc(nodes: DataFrame, edges: DataFrame, max_iter: int = 40) -> D
     contraction cannot outrun any sane budget (2^40 nodes fit in 40 rounds),
     and a non-converged exit now RAISES instead of returning wrong groups.
 
-    Node ids are xxhash64(surface) — deterministic across any parallelism —
-    and the component label is the minimum id, so labels are identical to the
-    old propagation scheme ('h:'+min-hash) wherever both converged.
+    Node identity is a 128-BIT pair of independent xxhash64 values —
+    deterministic across any parallelism, orderable as a struct, and
+    collision-safe at web scale: a single 64-bit hash has ~50% chance of one
+    collision around 5e9 distinct surfaces (birthday bound), which would
+    silently merge two unrelated variant clusters; requiring BOTH halves to
+    collide pushes the same bound past 1e19 surfaces (round-4 review). The
+    component label is the minimum id pair.
     """
-    # ids, not surfaces, through every shuffle: fixed-width longs, and the
-    # final label ('h:'+min hash) falls out of the star roots directly
+    # ids, not surfaces, through every shuffle: fixed-width (16-byte) pairs,
+    # and the final label ('h:'+min id pair) falls out of the star roots
+    # directly
+    def _node_id(col):
+        return F.struct(
+            F.xxhash64(col).alias("h1"),
+            F.xxhash64(F.lit("kgx-cc-2"), col).alias("h2"),
+        )
+
     e = (
-        edges.select(F.xxhash64("a").alias("p"), F.xxhash64("b").alias("q"))
+        edges.select(_node_id(F.col("a")).alias("p"), _node_id(F.col("b")).alias("q"))
         .filter(F.col("p") != F.col("q"))
         .distinct()
         .localCheckpoint()
@@ -817,14 +835,20 @@ def _distributed_cc(nodes: DataFrame, edges: DataFrame, max_iter: int = 40) -> D
         .groupBy("id")
         .agg(F.min("label").alias("label"))
     )
-    ids = nodes.select("surface").distinct().withColumn("id", F.xxhash64("surface"))
+    ids = nodes.select("surface").distinct().withColumn(
+        "id", _node_id(F.col("surface"))
+    )
     # 'h:' prefix keeps hash labels distinct from the driver path's
     # surface-valued labels when isolated nodes are appended by the caller;
     # coalesce: a node whose only edges were self-loops labels itself
+    lbl = F.coalesce("label", "id")
     return ids.join(comp, "id", "left").select(
         "surface",
         F.concat(
-            F.lit("h:"), F.coalesce("label", "id").cast("string")
+            F.lit("h:"),
+            lbl["h1"].cast("string"),
+            F.lit(":"),
+            lbl["h2"].cast("string"),
         ).alias("component"),
     )
 
