@@ -131,11 +131,17 @@ def main() -> None:
     for name in ("q01_pricing_summary", "s03_ann_lsh", "t07_minhash_clusters"):
         row: dict = {}
         for label, sf in (("sf0.1", SRC), ("sf1_synth", synth)):
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf)
-            n = df.count()
-            dt = round(time.perf_counter() - t0, 2)
-            row[label] = {"sec": dt, "rows": n, "exchanges": _exchanges(df)}
+            # best-of-2: the first execution of a query family in a session
+            # still pays residual JIT/page-cache cost the global warmup
+            # doesn't cover, which showed up as a bogus "faster at 10x"
+            best, n = None, 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = qs[name](spark, sf)
+                n = df.count()
+                dt = round(time.perf_counter() - t0, 2)
+                best = dt if best is None else min(best, dt)
+            row[label] = {"sec": best, "rows": n, "exchanges": _exchanges(df)}
         row["slowdown_x"] = round(
             row["sf1_synth"]["sec"] / max(row["sf0.1"]["sec"], 1e-9), 2
         )
