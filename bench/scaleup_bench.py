@@ -43,17 +43,17 @@ def build_synth() -> str:
     os.makedirs(out, exist_ok=True)
 
     docs = pq.read_table(f"{SRC}/documents.parquet")
-    max_doc = max(docs.column("doc_id").to_pylist()) + 1
+    doc_ids = docs.column("doc_id").to_pylist()
+    doc_texts = docs.column("text").to_pylist()
+    max_doc = max(doc_ids) + 1
     doc_parts = []
     for k in range(REPLICAS):
-        ids = pa.array([i + k * max_doc for i in docs.column("doc_id").to_pylist()],
-                       pa.int64())
+        ids = pa.array([i + k * max_doc for i in doc_ids], pa.int64())
         # per-replica token keeps replicas NEAR-duplicates of each other
         # (MinHash still has real work) instead of exact duplicates the
         # dedup prepass would collapse for free
         texts = pa.array(
-            [f"{t} r{k}tok{i}" for i, t in zip(docs.column("doc_id").to_pylist(),
-                                               docs.column("text").to_pylist())]
+            [f"{t} r{k}tok{i}" for i, t in zip(doc_ids, doc_texts)]
         )
         doc_parts.append(pa.table({
             "doc_id": ids, "text": texts,
@@ -64,12 +64,12 @@ def build_synth() -> str:
                    row_group_size=4096)
 
     emb = pq.read_table(f"{SRC}/embeddings.parquet")
-    max_vec = max(emb.column("vec_id").to_pylist()) + 1
+    vec_ids = emb.column("vec_id").to_pylist()
+    max_vec = max(vec_ids) + 1
     emb_parts = []
     vecs = emb.column("embedding").to_pylist()
     for k in range(REPLICAS):
-        ids = pa.array([i + k * max_vec for i in emb.column("vec_id").to_pylist()],
-                       pa.int64())
+        ids = pa.array([i + k * max_vec for i in vec_ids], pa.int64())
         if k == 0:
             pert = vecs
         else:
@@ -98,12 +98,19 @@ def build_synth() -> str:
 
 
 def _exchanges(df) -> int:
+    """Distinct Exchange OPERATORS in the formatted plan — counted from the
+    details section's '(N) Exchange' headers so each node counts once and
+    ReusedExchange (a pointer, not a new shuffle) is excluded; a raw
+    substring count double-counted tree+detail appearances and inflated on
+    reuse."""
+    import re
+
     spark = df.sparkSession
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
     plan = df._jdf.queryExecution().explainString(mode)
-    return plan.count("Exchange")
+    return len(re.findall(r"^\(\d+\) Exchange\s*$", plan, flags=re.MULTILINE))
 
 
 def main() -> None:

@@ -224,16 +224,30 @@ class TripleStore:
         runs (use is_epoch_committed for the run-scoped replay guard)."""
         return {e for _, e in self.committed_epoch_keys()}
 
-    def is_epoch_committed(self, epoch: int, stream_id: str | None = None) -> bool:
+    def is_epoch_committed(
+        self,
+        epoch: int,
+        stream_id: str | None = None,
+        include_legacy: bool = True,
+    ) -> bool:
         """Replay-guard probe, scoped to one stream run: True when ``epoch``
-        was committed by the run identified by ``stream_id``, or by a legacy
-        manifest that recorded no stream id (conservatively treated as this
-        run — the pre-scoping behavior). A DIFFERENT run's epoch of the same
-        number does not match: after a stream checkpoint rebuild epoch ids
-        restart at 0, and treating the old run's epoch 0 as 'already
-        committed' silently discarded the new batch's data."""
+        was committed by the run identified by ``stream_id``, or — when
+        ``include_legacy`` — by a legacy manifest that recorded no stream id.
+        A DIFFERENT run's epoch of the same number does not match: after a
+        stream checkpoint rebuild epoch ids restart at 0, and treating the
+        old run's epoch 0 as 'already committed' silently discarded the new
+        batch's data.
+
+        ``include_legacy`` belongs to the CALLER's knowledge, not this
+        store's: a stream continuing the checkpoint that produced the bare
+        legacy epochs must honor them (its replays arrive with the same
+        ids), while a deliberately REBUILT checkpoint must not (its fresh
+        epoch 0.. would collide with a dead run's ids and drop new data —
+        exactly the bug stream scoping exists to prevent)."""
         keys = self.committed_epoch_keys()
-        return (stream_id, epoch) in keys or (None, epoch) in keys
+        if (stream_id, epoch) in keys:
+            return True
+        return include_legacy and (None, epoch) in keys
 
     def _next_seq(self) -> int:
         """max(existing seq) + 1 — NOT len(manifests): a retried commit or a

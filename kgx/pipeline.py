@@ -107,19 +107,27 @@ def _rewrite_join(props: DataFrame, mapping: DataFrame) -> DataFrame:
     O(rows) join that the broadcast path avoids, which is why broadcast stays
     the default below the cap.
 
-    Row identity is the fact's NATURAL key (url, warc_ts, content_sha, pred)
-    — unique per fact row by construction (the extractor emits one fact per
-    crawl x category). Earlier versions pinned a synthetic
+    Row identity is the fact's natural key (url, warc_ts, content_sha, pred)
+    DISAMBIGUATED by xxhash64(obj): a crawl can carry TWO sections that both
+    categorize as project_proponents (kernel.page_facts emits one fact per
+    categorized section), so the bare natural key is not unique — merging
+    such rows would zip one row's surfaces against the union of both rows'
+    reps, silently rewriting organizations to unrelated names. ``obj`` (the
+    canonical JSON of the fact) fully determines ``surfaces``, so rows that
+    still collide after adding its hash are byte-identical and merge
+    harmlessly (collect_set dedups their identical (pos, rep) pairs; the
+    hash-collision scope is the handful of same-pred rows within ONE crawl,
+    not a global birthday bound). Earlier versions pinned a synthetic
     monotonically_increasing_id with localCheckpoint; that stored the full
     proponent slice in NON-REPLICATED executor memory, so on the very path
     that only engages for huge corpora a single executor loss killed the job.
-    With the natural key both consumptions of ``keyed`` below are plain
-    deterministic recomputes (upstream is persisted facts or staged parquet),
-    fully lineage-recoverable. The rep-array agg uses collect_set so even an
-    exact-duplicate fact row (same natural key, same payload) reassembles the
-    correct array instead of doubling positions."""
-    nk = ["url", "warc_ts", "content_sha", "pred"]
-    keyed = props.select(*nk, "obj", "surfaces")
+    With the content-derived key both consumptions of ``keyed`` below are
+    plain deterministic recomputes (upstream is persisted facts or staged
+    parquet), fully lineage-recoverable."""
+    nk = ["url", "warc_ts", "content_sha", "pred", "_ok"]
+    keyed = props.select(
+        "url", "warc_ts", "content_sha", "pred", "obj", "surfaces"
+    ).withColumn("_ok", F.xxhash64("obj"))
     ex = keyed.select(*nk, F.posexplode("surfaces").alias("_pos", "surface"))
     diff = mapping.filter(F.col("surface") != F.col("rep"))
     resolved = ex.join(diff, "surface", "left").select(
@@ -143,7 +151,7 @@ def _rewrite_join(props: DataFrame, mapping: DataFrame) -> DataFrame:
         cond = e if cond is None else (cond & e)
     return (
         keyed.join(reps, cond, "left")
-        .select(*nk, "obj", "surfaces", "_reps")
+        .select("url", "warc_ts", "content_sha", "pred", "obj", "surfaces", "_reps")
         .mapInPandas(_rewrite_zip_gen, schema=_REWRITE_SCHEMA)
     )
 

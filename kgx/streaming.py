@@ -57,10 +57,14 @@ class _EpochCaches:
     probe was metadata-sized but still O(units) forever).
 
     The content cache is re-based from the sidecars every REBASE_EVERY
-    extensions: the per-epoch extension is union + persist, so re-basing
-    bounds the union-chain lineage depth AND self-heals the cache from the
-    durable sidecars after executor loss (persisted blocks are recomputable,
-    but a 10^4-union lineage is not a plan you want to recompute)."""
+    extensions, bounding the union-chain lineage depth. Fault posture, stated
+    honestly: each extension's leaf is a one-column localCheckpoint (slim on
+    purpose — checkpointing the epoch's full-page frame instead would pin up
+    to REBASE_EVERY micro-batches of raw html in executor storage via
+    lineage), and localCheckpoint blocks are NOT replicated, so losing an
+    executor mid-run can fail the stream query; the recovery is restart-level,
+    not task-level — a restarted ingest re-seeds the cache from the durable
+    per-unit sidecars and the stream checkpoint replays the failed epoch."""
 
     REBASE_EVERY = 32
 
@@ -92,10 +96,15 @@ class _EpochCaches:
     def extend_content(self, batch_shas: DataFrame) -> None:
         """Fold one committed batch's shas into the cache (called only after
         the commit lands, so the cache never claims uncommitted content)."""
+        # slim leaf: batch_shas' plan references the epoch's localCheckpointed
+        # FULL-PAGE frame; checkpointing the one sha column here releases that
+        # frame for cleanup when the epoch ends, instead of pinning every
+        # epoch's html payloads in block storage until the next rebase
+        slim = batch_shas.localCheckpoint()
         if self._content is None:
-            self._swap_content(batch_shas)
+            self._swap_content(slim)
         else:
-            self._swap_content(self._content.unionByName(batch_shas))
+            self._swap_content(self._content.unionByName(slim))
             self._content_depth += 1
         self._content_loaded = True
 
@@ -154,11 +163,8 @@ def ingest_available_now(
     batches) — the knob that keeps one giant backlog from becoming one giant
     epoch at scale."""
     store.claim_mode("streaming")
-    if (
-        _stream_run_id(store) is None
-        and store.committed_epochs()
-        and not allow_new_checkpoint
-    ):
+    had_checkpoint = _stream_run_id(store) is not None
+    if not had_checkpoint and store.committed_epochs() and not allow_new_checkpoint:
         raise ValueError(
             f"store at {store.root!r} has committed streaming epochs but no "
             "stream checkpoint: the checkpoint directory was deleted or the "
@@ -173,6 +179,12 @@ def ingest_available_now(
         unit = _process_epoch(
             spark, store, batch_df, int(epoch_id), dedup_content,
             stream_id=_stream_run_id(store), caches=caches,
+            # legacy bare-epoch manifests (pre stream-id recording) belong to
+            # the checkpoint that existed when they were written: honor them
+            # only when THIS run continues a pre-existing checkpoint — a
+            # deliberately rebuilt checkpoint restarts epoch numbering, and
+            # matching a dead run's bare ids would drop genuinely-new batches
+            honor_legacy_epochs=had_checkpoint,
         )
         if unit is not None:
             committed.append(unit)
@@ -180,15 +192,19 @@ def ingest_available_now(
     reader = spark.readStream.schema(PAGES)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    q = (
-        reader.parquet(pages_dir)
-        .writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", f"{store.root}/stream_checkpoint")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    caches.release()
+    try:
+        q = (
+            reader.parquet(pages_dir)
+            .writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", f"{store.root}/stream_checkpoint")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # a failed stream must not leave the persisted cache (and its pinned
+        # checkpoint lineage) in executor storage for the life of the session
+        caches.release()
     return committed
 
 
@@ -200,6 +216,7 @@ def _process_epoch(
     dedup_content: bool,
     stream_id: str | None = None,
     caches: _EpochCaches | None = None,
+    honor_legacy_epochs: bool = True,
 ) -> str | None:
     """One foreachBatch epoch: dedup (optional) -> extract -> canonicalize ->
     validate -> snapshot commit. Returns the unit id, or None when nothing
@@ -217,7 +234,8 @@ def _process_epoch(
     store's sidecars / entity dirs are read once per run, not once per
     micro-batch; None falls back to per-call store reads (the standalone
     test/replay path)."""
-    if store.is_epoch_committed(epoch_id, stream_id):
+    if store.is_epoch_committed(epoch_id, stream_id,
+                                include_legacy=honor_legacy_epochs):
         return None
     if not batch_df.take(1):
         return None

@@ -311,6 +311,49 @@ def test_join_rewrite_edge_shapes(spark, monkeypatch):
     assert by_url["u5"] == obj_of(["Acme Corp"])
 
 
+def test_join_rewrite_duplicate_natural_key_rows(spark, monkeypatch):
+    """Two proponent facts from the SAME crawl (a page with two sections that
+    both categorize project_proponents — kernel.page_facts emits one fact per
+    section): the join-path rewrite must keep each row's surfaces zipped to
+    its OWN reps. A bare (url, warc_ts, content_sha, pred) row key merges the
+    groups and rewrites organizations to unrelated names (round-5 review)."""
+    from datetime import datetime
+
+    from kgx.schema import FACTS
+
+    def obj_of(names):
+        return kernel.canonical_json([{"organization_name": n} for n in names])
+
+    ts = datetime(2025, 1, 1)
+    rows = [
+        ("u1", ts, "s1", "project_proponents",
+         obj_of(["Acme Corp"]), None, ["Acme Corp"]),
+        ("u1", ts, "s1", "project_proponents",
+         obj_of(["Beta LLC"]), None, ["Beta LLC"]),
+        # and an EXACT duplicate pair (same obj too): must merge harmlessly
+        ("u2", ts, "s2", "project_proponents",
+         obj_of(["Acme Corp"]), None, ["Acme Corp"]),
+        ("u2", ts, "s2", "project_proponents",
+         obj_of(["Acme Corp"]), None, ["Acme Corp"]),
+    ]
+    facts = spark.createDataFrame(rows, FACTS)
+    mapping = spark.createDataFrame(
+        [("Acme Corp", "ACME CANONICAL"), ("Beta LLC", "BETA CANONICAL")],
+        "surface string, rep string",
+    )
+    expected = sorted(
+        tuple(r) for r in pipeline.canonicalize_proponents(facts, mapping).collect()
+    )
+    monkeypatch.setattr(pipeline, "BROADCAST_MAPPING_MAX", 0)
+    got = sorted(
+        tuple(r) for r in pipeline.canonicalize_proponents(facts, mapping).collect()
+    )
+    assert got == expected
+    objs = sorted(t[4] for t in got if t[0] == "u1")
+    assert objs == sorted([obj_of(["ACME CANONICAL"]), obj_of(["BETA CANONICAL"])])
+    assert [t[4] for t in got if t[0] == "u2"] == [obj_of(["ACME CANONICAL"])] * 2
+
+
 def test_broadcast_byte_budget_routes_to_join_path(spark, monkeypatch):
     """A dictionary under the row cap but over the BYTE budget must take the
     join path without a driver collect of the mapping."""

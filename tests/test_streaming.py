@@ -396,6 +396,39 @@ def test_checkpoint_rebuild_guard_and_stream_scoped_epochs(spark, tmp_path):
     assert 0 in [e for _, e in store.committed_epoch_keys()]
 
 
+def test_legacy_bare_epochs_do_not_swallow_a_rebuilt_run(spark, tmp_path):
+    """A store whose manifests predate stream-id recording (bare epochs) and
+    whose checkpoint is gone: the advertised recovery (allow_new_checkpoint +
+    dedup_content) must COMMIT the new run's batches even though their epoch
+    ids collide with the legacy bare ids — the wildcard match only applies to
+    runs continuing the checkpoint that wrote those manifests (round-5
+    review)."""
+    import pandas as pd
+
+    pages = fixtures.gen_pages(8)
+    store = TripleStore(str(tmp_path / "store_legacy"), n_buckets=4)
+    store.claim_mode("streaming")
+    # legacy commit: epoch 0, no stream id recorded
+    batch = spark.createDataFrame(pd.DataFrame(pages[:4]))
+    assert streaming._process_epoch(spark, store, batch, 0, True) is not None
+    assert (None, 0) in store.committed_epoch_keys()
+    n1 = store.read(spark).count()
+
+    # rebuilt world: fresh checkpoint, new + old files land together; the new
+    # run's epoch 0 must not be swallowed by the legacy bare epoch 0
+    pages_dir = str(tmp_path / "inbox")
+    _write_pages(pages, f"{pages_dir}/part-0.parquet")
+    units = streaming.ingest_available_now(
+        spark, pages_dir, store, dedup_content=True, allow_new_checkpoint=True
+    )
+    assert units, "new batch swallowed by a dead run's bare epoch id"
+    assert store.read(spark).count() > n1
+    # old content deduplicated (no double-commit), new pages present
+    oneshot = __import__("kgx.pipeline", fromlist=["pipeline"]).build_triples(
+        spark, spark.createDataFrame(pd.DataFrame(pages)))
+    assert store.read(spark).count() == oneshot.count()
+
+
 def test_epoch_caches_read_store_once_per_run(spark, tmp_path):
     """Across the micro-batches of ONE ingest run, the committed-content and
     entity-dictionary probes must hit the store once (seed) and then extend
