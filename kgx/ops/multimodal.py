@@ -482,8 +482,71 @@ FROM g
 """
 
 
+# --- m04: DuckDB-oracled embedding (normalized 32-bin histogram) ---------------------- #
+def m04_embed_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """documents -> image assets -> cyclic decode -> image_embeddings (the
+    mean-pooled 32-bin channel histogram, L2-normalized) -> long format
+    (doc_id, bin, weight). The oracle reconstructs each histogram bin from
+    the payload's byte distribution (pixel j = byte (j mod L), so bin counts
+    are cycle-count arithmetic over the 256 byte positions), then mirrors the
+    exact float pipeline: integer counts -> float64 norm (exact: integer
+    sums < 2^53) -> float32 quantization -> round 6."""
+    assets = _doc_assets(spark, sf, "image")
+    dec = decode_images(assets, decoder=_cyclic_decode)
+    emb = image_embeddings(dec, dim=32)
+    return emb.select(
+        F.col("asset_id").alias("doc_id"),
+        F.posexplode("embedding").alias("bin", "w32"),
+    ).select(
+        "doc_id",
+        F.col("bin").cast("long").alias("bin"),
+        F.round(F.col("w32").cast("double"), 6).alias("weight"),
+    )
+
+
+M04_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_replace(substring(text, 1, 256), '[^ -~]', '', 'g') AS s
+  FROM documents
+  WHERE doc_id < 64
+),
+v AS (
+  SELECT doc_id, s, length(s) AS L,
+         (8 + doc_id % 8) * (4 + doc_id % 4) * 3 AS npix
+  FROM t WHERE length(s) > 0
+),
+bytes AS (
+  SELECT doc_id,
+         unicode(substring(s, p + 1, 1)) // 8 AS bin,
+         npix // L + CASE WHEN p < npix % L THEN 1 ELSE 0 END AS cnt
+  FROM v, range(0, 256) tp(p)
+  WHERE p < L
+),
+grid AS (
+  SELECT b.doc_id, tb.bin
+  FROM (SELECT DISTINCT doc_id FROM v) b, range(0, 32) tb(bin)
+),
+hist AS (
+  SELECT g.doc_id, g.bin, COALESCE(SUM(y.cnt), 0) AS h
+  FROM grid g
+  LEFT JOIN bytes y ON y.doc_id = g.doc_id AND y.bin = g.bin
+  GROUP BY g.doc_id, g.bin
+),
+norms AS (
+  SELECT doc_id, sqrt(SUM(CAST(h AS DOUBLE) * h)) AS nrm FROM hist GROUP BY doc_id
+)
+SELECT hist.doc_id,
+       CAST(hist.bin AS BIGINT) AS bin,
+       ROUND(CAST(CAST(CAST(hist.h AS DOUBLE) / norms.nrm AS REAL) AS DOUBLE), 6)
+           AS weight
+FROM hist JOIN norms ON hist.doc_id = norms.doc_id
+"""
+
+
 QUERIES = {
     "m01_decode_stats": (m01_decode_stats, M01_SQL),
     "m02_frame_sample": (m02_frame_sample, M02_SQL),
     "m03_resize_stats": (m03_resize_stats, M03_SQL),
+    "m04_embed_hist": (m04_embed_hist, M04_SQL),
 }
