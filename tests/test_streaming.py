@@ -470,6 +470,41 @@ def test_epoch_caches_read_store_once_per_run(spark, tmp_path):
     assert subs == {r.subj for r in oneshot.select("subj").distinct().collect()}
 
 
+def test_content_cache_rebase_preserves_dedup(spark, tmp_path, monkeypatch):
+    """When the in-run content cache re-bases from the sidecars (every
+    REBASE_EVERY extensions), content committed in ANY earlier epoch must
+    still dedup away — the rebase is a lineage bound, not a memory wipe."""
+    import pandas as pd
+
+    monkeypatch.setattr(streaming._EpochCaches, "REBASE_EVERY", 2)
+    pages = fixtures.gen_pages(8)
+    store = TripleStore(str(tmp_path / "store_rebase"), n_buckets=4)
+    store.claim_mode("streaming")
+    caches = streaming._EpochCaches()
+    calls = {"content": 0}
+    orig_kc = store.known_content
+    store.known_content = lambda s: (
+        calls.__setitem__("content", calls["content"] + 1) or orig_kc(s)
+    )
+    for ep in range(3):
+        batch = spark.createDataFrame(pd.DataFrame(pages[2 * ep: 2 * ep + 2]))
+        assert streaming._process_epoch(
+            spark, store, batch, ep, True, stream_id="run-r", caches=caches
+        ) is not None
+
+    # a batch of ONLY epoch-0 mirrors, arriving at the epoch whose probe
+    # re-bases (union depth hit REBASE_EVERY at the end of epoch 2): fully
+    # dedups through the re-based cache
+    mirrors = [{**p, "url": f"https://mirror.example/proj/77{i:02d}"}
+               for i, p in enumerate(pages[:2])]
+    batch = spark.createDataFrame(pd.DataFrame(mirrors))
+    assert streaming._process_epoch(
+        spark, store, batch, 3, True, stream_id="run-r", caches=caches
+    ) is None
+    assert calls["content"] >= 2, "rebase never happened at REBASE_EVERY=2"
+    caches.release()
+
+
 def test_entity_dirs_stay_bounded_across_epochs(spark, tmp_path, monkeypatch):
     """save_entities folds snapshots past ENTITY_FOLD_MAX_DIRS so an
     un-vacuumed stream holds O(1) entity dirs, with the folded dictionary
