@@ -57,13 +57,36 @@ def main() -> None:
     os.makedirs(inbox)
     shutil.copy(pages_path, os.path.join(inbox, "part-0.parquet"))
 
+    # multi-epoch inbox: the same corpus split into EPOCHS files, consumed at
+    # one file per micro-batch — this is the shape that exercises the
+    # per-epoch store probes (known content, entity dictionary) whose cost
+    # the in-run caches amortize; a single-file inbox has exactly one epoch
+    # and cannot show the difference
+    EPOCHS = 8
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(pages_path)
+    inbox_multi = os.path.join(work, "inbox_multi")
+    os.makedirs(inbox_multi)
+    per = -(-tbl.num_rows // EPOCHS)
+    for i in range(EPOCHS):
+        pq.write_table(tbl.slice(i * per, per),
+                       os.path.join(inbox_multi, f"part-{i}.parquet"),
+                       row_group_size=4096)
+
     results = {"n_pages": n, "cpus": cpus, "n_triples": n_batch,
                "batch": {"sec": sec_batch, "pages_per_sec": round(n / sec_batch, 1)}}
-    for name, dedup in (("stream", False), ("stream_dedup", True)):
+    runs = (
+        ("stream", inbox, False, None),
+        ("stream_dedup", inbox, True, None),
+        (f"stream_dedup_{EPOCHS}epochs", inbox_multi, True, 1),
+    )
+    for name, src, dedup, mfpt in runs:
         store = TripleStore(os.path.join(work, f"store_{name}"), n_buckets=8)
         t0 = time.perf_counter()
-        units = streaming.ingest_available_now(spark, inbox, store,
-                                               dedup_content=dedup)
+        units = streaming.ingest_available_now(spark, src, store,
+                                               dedup_content=dedup,
+                                               max_files_per_trigger=mfpt)
         sec = round(time.perf_counter() - t0, 2)
         n_got = store.read(spark).count()
         results[name] = {
@@ -78,7 +101,8 @@ def main() -> None:
         f.write("\n")
     spark.stop()
     shutil.rmtree(work, ignore_errors=True)
-    if not all(results[k]["triples_match_batch"] for k in ("stream", "stream_dedup")):
+    if not all(v["triples_match_batch"] for k, v in results.items()
+               if isinstance(v, dict) and "triples_match_batch" in v):
         sys.exit(1)
 
 
