@@ -470,6 +470,78 @@ def test_epoch_caches_read_store_once_per_run(spark, tmp_path):
     assert subs == {r.subj for r in oneshot.select("subj").distinct().collect()}
 
 
+def test_all_known_mentions_skip_canonicalization(spark, tmp_path, monkeypatch):
+    """A micro-batch whose every entity mention is already in this run's
+    computed dictionary must SKIP the LSH+CC canonicalization stage (the
+    mapping is a pure function of the unchanged node set) and write no new
+    entity snapshot; a batch introducing a novel surface runs the full path
+    again. Triples produced through the skip are identical to the full
+    path's for the same content."""
+    import pandas as pd
+
+    from kgx import canon
+
+    calls = {"n": 0}
+    orig = canon.canonical_mapping
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(streaming.canon, "canonical_mapping", spy)
+
+    pages = fixtures.gen_pages(6)
+    store = TripleStore(str(tmp_path / "store_skip"), n_buckets=4)
+    store.claim_mode("streaming")
+    caches = streaming._EpochCaches()
+
+    def ent_dirs():
+        return [d for d in os.listdir(os.path.join(store.root, "entities"))
+                if not d.startswith("_")]
+
+    b0 = spark.createDataFrame(pd.DataFrame(pages))
+    assert streaming._process_epoch(
+        spark, store, b0, 0, False, stream_id="r", caches=caches) is not None
+    assert calls["n"] == 1
+    n_dirs = len(ent_dirs())
+
+    # same content at new urls: same surfaces -> canonicalization skipped,
+    # no new snapshot, and the moved pages' triples match the originals'
+    moved = [{**p, "url": p["url"].replace("/proj/", "/proj/9")} for p in pages]
+    b1 = spark.createDataFrame(pd.DataFrame(moved))
+    assert streaming._process_epoch(
+        spark, store, b1, 1, False, stream_id="r", caches=caches) is not None
+    assert calls["n"] == 1, "all-known batch re-ran canonical_mapping"
+    assert len(ent_dirs()) == n_dirs, "skip epoch wrote an entity snapshot"
+    by_subj: dict = {}
+    for r in store.read(spark).collect():
+        by_subj.setdefault(r.subj, set()).add((r.pred, r.obj))
+    for p in pages:
+        orig_subj = "proj:" + p["url"].rstrip("/").rsplit("/", 1)[-1]
+        moved_subj = "proj:9" + p["url"].rstrip("/").rsplit("/", 1)[-1]
+        assert by_subj.get(orig_subj, set()) == by_subj.get(moved_subj, set())
+
+    # a batch with a NOVEL surface runs the full path again
+    donor, org = next(
+        (p, o["name"]) for p in pages for o in fixtures.ORGS
+        if o["name"].encode() in p["html"]
+    )
+    novel = {
+        **donor,
+        "url": "https://novel.example.com/proj/777777",
+        "html": donor["html"].replace(org.encode(), b"Zyxq Consolidated"),
+        "text": donor["text"].replace(org, "Zyxq Consolidated"),
+    }
+    b2 = spark.createDataFrame(pd.DataFrame([novel]))
+    assert streaming._process_epoch(
+        spark, store, b2, 2, False, stream_id="r", caches=caches) is not None
+    assert calls["n"] == 2, "novel-surface batch did not re-canonicalize"
+    assert len(ent_dirs()) == n_dirs + 1
+    surfaces = {r.surface for r in store.known_entities(spark).collect()}
+    assert any("Zyxq Consolidated" in s for s in surfaces)
+    caches.release()
+
+
 def test_content_cache_rebase_preserves_dedup(spark, tmp_path, monkeypatch):
     """When the in-run content cache re-bases from the sidecars (every
     REBASE_EVERY extensions), content committed in ANY earlier epoch must
