@@ -300,12 +300,21 @@ def _process_epoch(
     # snapshots, which can carry both the old and new rep for a surface
     # whose cluster a later epoch merged. So the first mapping-bearing epoch
     # of each run always runs the full path.
-    if (
-        caches is not None
-        and caches.entities_canonical
-        and known is not None
-        and mentions.join(known.select("surface"), "surface", "left_anti").isEmpty()
-    ):
+    skip = False
+    if caches is not None and caches.entities_canonical and known is not None:
+        # probe shape matters at scale: a left_anti would SHUFFLE the whole
+        # dictionary (anti builds the right side, and the dictionary is too
+        # big to broadcast); broadcasting the per-batch mention set into an
+        # inner join instead scans the dictionary in place — no exchange —
+        # and compares hit count to mention count
+        m = mentions.distinct().localCheckpoint()
+        n_m = m.count()
+        n_hit = (
+            known.join(F.broadcast(m), "surface")
+            .select("surface").distinct().count()
+        )
+        skip = n_hit == n_m
+    if skip:
         mapping = known
     else:
         mapping = canon.canonical_mapping(mentions, known=known).localCheckpoint()
