@@ -210,7 +210,9 @@ class TripleStore:
         manifests; compaction folds its victims' keys into the merged manifest
         so the replay guard survives maintenance. Legacy manifests that
         recorded a bare epoch (or compacted `epochs` lists) yield a None
-        stream_id, which is_epoch_committed treats as matching ANY run."""
+        stream_id, which is_epoch_committed matches only when its caller
+        passes include_legacy=True (a run continuing the checkpoint that
+        wrote them — see is_epoch_committed)."""
         out: set[tuple[str | None, int]] = set()
         for m in self.manifests():
             if "epoch" in m:
@@ -248,6 +250,35 @@ class TripleStore:
         if (stream_id, epoch) in keys:
             return True
         return include_legacy and (None, epoch) in keys
+
+    # -- legacy-epoch disownment (durable rebuild decision) -------------------
+    def disown_legacy_epochs(self) -> None:
+        """Durably record that this store's BARE (pre-stream-id) epoch ids
+        belong to a dead stream run. Written once, when an ingest adopts a
+        NEW checkpoint over a store that has bare epochs: the adopting run
+        can crash and restart, and on restart the checkpoint EXISTS — without
+        this marker the restart would re-infer 'continuing run' and go back
+        to honoring the dead run's epoch ids, silently dropping any new
+        batch whose id collides (the data-loss hole the transient check left
+        open)."""
+        p = os.path.join(self.root, "legacy_epochs_disowned.json")
+        if os.path.exists(p):
+            return
+        tmp = os.path.join(self.root, f"_tmp-disown-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump({"disowned_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, f)
+        try:
+            os.link(tmp, p)
+        except FileExistsError:
+            pass
+        finally:
+            os.remove(tmp)
+
+    def legacy_epochs_disowned(self) -> bool:
+        return os.path.exists(
+            os.path.join(self.root, "legacy_epochs_disowned.json")
+        )
 
     def _next_seq(self) -> int:
         """max(existing seq) + 1 — NOT len(manifests): a retried commit or a

@@ -34,6 +34,12 @@ from kgx.schema import PAGES
 # un-vacuumed long-running stream holds O(1) dirs, not O(epochs)
 ENTITY_FOLD_MAX_DIRS = 16
 
+# budgets for the skip-canonicalization probe's forced broadcast of the
+# per-batch mention set (F.broadcast bypasses autoBroadcastJoinThreshold, so
+# the guard must live here); over-budget batches take the full path
+SKIP_PROBE_MAX_MENTIONS = 1_000_000
+SKIP_PROBE_MAX_BYTES = 64 * 1024 * 1024
+
 
 def _stream_run_id(store) -> str | None:
     """The streaming query id from the stream checkpoint's metadata file, or
@@ -177,6 +183,16 @@ def ingest_available_now(
             "input file; pass allow_new_checkpoint=True to proceed "
             "(with dedup_content=True to avoid double-committing)."
         )
+    if not had_checkpoint and any(
+        s is None for s, _ in store.committed_epoch_keys()
+    ):
+        # adopting a NEW checkpoint over bare (pre-stream-id) epochs: record
+        # the decision DURABLY. A transient had_checkpoint flag is not
+        # enough — if this adopting run crashes and restarts, the checkpoint
+        # then exists, the restart would infer 'continuing run', and the
+        # dead run's bare epoch ids would silently swallow new batches again.
+        store.disown_legacy_epochs()
+    honor_legacy = had_checkpoint and not store.legacy_epochs_disowned()
     committed: list[str] = []
     caches = _EpochCaches()
 
@@ -186,10 +202,9 @@ def ingest_available_now(
             stream_id=_stream_run_id(store), caches=caches,
             # legacy bare-epoch manifests (pre stream-id recording) belong to
             # the checkpoint that existed when they were written: honor them
-            # only when THIS run continues a pre-existing checkpoint — a
-            # deliberately rebuilt checkpoint restarts epoch numbering, and
-            # matching a dead run's bare ids would drop genuinely-new batches
-            honor_legacy_epochs=had_checkpoint,
+            # only when THIS run continues that checkpoint AND no later
+            # rebuild disowned them
+            honor_legacy_epochs=honor_legacy,
         )
         if unit is not None:
             committed.append(unit)
@@ -306,14 +321,34 @@ def _process_epoch(
         # dictionary (anti builds the right side, and the dictionary is too
         # big to broadcast); broadcasting the per-batch mention set into an
         # inner join instead scans the dictionary in place — no exchange —
-        # and compares hit count to mention count
-        m = mentions.distinct().localCheckpoint()
-        n_m = m.count()
-        n_hit = (
-            known.join(F.broadcast(m), "surface")
-            .select("surface").distinct().count()
+        # and compares hit count to mention count. The broadcast is guarded
+        # by row AND byte budgets computed executor-side (F.broadcast forces
+        # the hash join regardless of autoBroadcastJoinThreshold, so an
+        # unguarded giant-backlog epoch would OOM the driver); an over-budget
+        # mention set just takes the full canonicalization path, which
+        # handles any size. No localCheckpoint: the two probe actions
+        # recompute the O(batch) distinct from the persisted facts instead
+        # of leaving one-use checkpoint blocks behind every epoch.
+        m = mentions.distinct()
+        stats = (
+            m.limit(SKIP_PROBE_MAX_MENTIONS + 1)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(F.octet_length("surface")), F.lit(0)).alias(
+                    "nbytes"
+                ),
+            )
+            .first()
         )
-        skip = n_hit == n_m
+        if (
+            stats["n"] <= SKIP_PROBE_MAX_MENTIONS
+            and stats["nbytes"] <= SKIP_PROBE_MAX_BYTES
+        ):
+            n_hit = (
+                known.join(F.broadcast(m), "surface")
+                .select("surface").distinct().count()
+            )
+            skip = n_hit == stats["n"]
     if skip:
         mapping = known
     else:

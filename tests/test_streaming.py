@@ -405,25 +405,41 @@ def test_legacy_bare_epochs_do_not_swallow_a_rebuilt_run(spark, tmp_path):
     review)."""
     import pandas as pd
 
-    pages = fixtures.gen_pages(8)
+    pages = fixtures.gen_pages(12)
     store = TripleStore(str(tmp_path / "store_legacy"), n_buckets=4)
     store.claim_mode("streaming")
-    # legacy commit: epoch 0, no stream id recorded
+    # legacy commits: epochs 0 AND 1, no stream id recorded
     batch = spark.createDataFrame(pd.DataFrame(pages[:4]))
     assert streaming._process_epoch(spark, store, batch, 0, True) is not None
-    assert (None, 0) in store.committed_epoch_keys()
+    assert streaming._process_epoch(
+        spark, store, spark.createDataFrame(pd.DataFrame(pages[4:6])), 1, True
+    ) is not None
+    assert {(None, 0), (None, 1)} <= store.committed_epoch_keys()
     n1 = store.read(spark).count()
 
     # rebuilt world: fresh checkpoint, new + old files land together; the new
     # run's epoch 0 must not be swallowed by the legacy bare epoch 0
     pages_dir = str(tmp_path / "inbox")
-    _write_pages(pages, f"{pages_dir}/part-0.parquet")
+    _write_pages(pages[:8], f"{pages_dir}/part-0.parquet")
     units = streaming.ingest_available_now(
         spark, pages_dir, store, dedup_content=True, allow_new_checkpoint=True
     )
     assert units, "new batch swallowed by a dead run's bare epoch id"
     assert store.read(spark).count() > n1
-    # old content deduplicated (no double-commit), new pages present
+    n2 = store.read(spark).count()
+
+    # the rebuild decision must be DURABLE: the adopting run 'crashed' and a
+    # later plain restart (checkpoint now exists, no allow flag) delivers
+    # epoch 1 — which collides with the dead run's bare epoch 1 and must
+    # still commit (round-5 review: a transient had_checkpoint flag regressed
+    # here to silent data loss)
+    assert store.legacy_epochs_disowned()
+    _write_pages(pages[8:], f"{pages_dir}/part-1.parquet")
+    units2 = streaming.ingest_available_now(spark, pages_dir, store,
+                                            dedup_content=True)
+    assert units2, "restart after rebuild re-honored dead bare epoch ids"
+    assert store.read(spark).count() > n2
+    # full-corpus reconciliation: everything committed exactly once
     oneshot = __import__("kgx.pipeline", fromlist=["pipeline"]).build_triples(
         spark, spark.createDataFrame(pd.DataFrame(pages)))
     assert store.read(spark).count() == oneshot.count()
