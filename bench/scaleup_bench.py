@@ -23,7 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
-SYNTH_VERSION = 1
+SYNTH_VERSION = 2  # v2: orders also replicated (q16 leg)
 REPLICAS = 10
 
 
@@ -84,12 +84,12 @@ def build_synth() -> str:
     pq.write_table(pa.concat_tables(emb_parts), f"{out}/embeddings.parquet",
                    row_group_size=4096)
 
-    li = pq.read_table(f"{SRC}/lineitem.parquet")
-    pq.write_table(pa.concat_tables([li] * REPLICAS), f"{out}/lineitem.parquet",
-                   row_group_size=65536)
+    for fact in ("lineitem", "orders"):
+        t = pq.read_table(f"{SRC}/{fact}.parquet")
+        pq.write_table(pa.concat_tables([t] * REPLICAS), f"{out}/{fact}.parquet",
+                       row_group_size=65536)
     # q-query loaders may touch the dimension tables; symlink the rest
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "events"):
+    for t in ("region", "nation", "customer", "supplier", "part", "events"):
         dst = f"{out}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{SRC}/{t}.parquet", dst)
@@ -135,7 +135,8 @@ def main() -> None:
 
     qs = entry_mod.queries()
     result: dict = {"cpus": cpus, "replicas": REPLICAS, "queries": {}}
-    for name in ("q01_pricing_summary", "s03_ann_lsh", "t07_minhash_clusters"):
+    for name in ("q01_pricing_summary", "q16_topk_per_group", "t13_bm25_topk",
+                 "s03_ann_lsh", "s04_ann_ivf", "t07_minhash_clusters"):
         row: dict = {}
         for label, sf in (("sf0.1", SRC), ("sf1_synth", synth)):
             # best-of-2: the first execution of a query family in a session
