@@ -645,23 +645,17 @@ def connected_components(
     # separate actions that would otherwise each re-run the whole upstream
     # blocking/verification pipeline
     edges = edges.localCheckpoint()
-    # guard FIRST, executor-side: count + byte budget (octet_length = utf-8
-    # encoded length, so multi-byte surfaces can't undercount 2-4x) over the
-    # bounded limit(cap+1) slice. The collect happens ONLY after both budgets
-    # pass — an edge set under the row cap but over the byte cap (long CJK
+    # guard FIRST, executor-side: count + byte budget over the bounded
+    # limit(cap+1) slice; the collect happens ONLY after both budgets pass —
+    # an edge set under the row cap but over the byte cap (long CJK
     # surfaces) must route to the distributed path WITHOUT ever being pulled
-    # onto the driver (a cap+1 collect of such rows is itself the OOM the
-    # byte guard exists to prevent — round-3 review)
-    stats = (
-        edges.select("a", "b")
-        .limit(DRIVER_CC_MAX_EDGES + 1)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.sum(F.octet_length("a") + F.octet_length("b")), F.lit(0)
-            ).alias("nbytes"),
-        )
-        .first()
+    # onto the driver (see kgx.util.bounded_stats for the idiom's rationale)
+    from kgx.util import bounded_stats
+
+    stats = bounded_stats(
+        edges.select("a", "b"),
+        DRIVER_CC_MAX_EDGES,
+        F.octet_length("a") + F.octet_length("b"),
     )
     if stats["n"] <= DRIVER_CC_MAX_EDGES and stats["nbytes"] <= DRIVER_CC_MAX_BYTES:
         # reads the checkpointed edges, not the upstream pipeline

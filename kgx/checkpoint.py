@@ -50,6 +50,26 @@ class TripleStore:
         # _all_manifests) — several pipeline steps call manifests() in loops
         self._manifest_cache: tuple[tuple[str, ...], list[dict]] | None = None
 
+    # -- atomic exclusive publish (shared by mode stamp / manifests / markers)
+    def _publish_exclusive(self, tmp_path: str, final_path: str, payload: dict) -> bool:
+        """Write ``payload`` to ``tmp_path`` then hard-link it to
+        ``final_path``: atomic (readers never see partial JSON) AND exclusive
+        (link(2) fails with EEXIST if the name was already claimed — a
+        last-wins rename would let two concurrent first claimants both
+        succeed). Returns True when THIS call published, False on EEXIST;
+        the tmp file is removed either way. Callers choose tmp naming so
+        crash orphans stay inside vacuum()'s sweep and outside reader
+        globs."""
+        with open(tmp_path, "w") as f:
+            json.dump(payload, f, indent=1)
+        try:
+            os.link(tmp_path, final_path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp_path)
+
     # -- mode guard ----------------------------------------------------------
     def claim_mode(self, mode: str) -> None:
         """Stamp the store with its ingest mode on first use; refuse the other
@@ -74,19 +94,11 @@ class TripleStore:
             with open(p) as f:
                 _check(json.load(f)["mode"])
             return
-        # exclusive publish via link(2), same idiom as _write_manifest: a
-        # last-wins rename would let two concurrent FIRST claimants in
-        # different modes both succeed, silently defeating this guard
         tmp = os.path.join(self.root, f"_tmp-mode-{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            json.dump({"mode": mode}, f)
-        try:
-            os.link(tmp, p)
-        except FileExistsError:
+        if not self._publish_exclusive(tmp, p, {"mode": mode}):
+            # lost the race: re-validate against whatever the winner stamped
             with open(p) as f:
                 _check(json.load(f)["mode"])
-        finally:
-            os.remove(tmp)
 
     # -- manifest ------------------------------------------------------------
     def _all_manifests(self) -> list[dict]:
@@ -245,11 +257,23 @@ class TripleStore:
         legacy epochs must honor them (its replays arrive with the same
         ids), while a deliberately REBUILT checkpoint must not (its fresh
         epoch 0.. would collide with a dead run's ids and drop new data —
-        exactly the bug stream scoping exists to prevent)."""
+        exactly the bug stream scoping exists to prevent). The DURABLE
+        disownment marker (disown_legacy_epochs) is enforced HERE, not only
+        in ingest_available_now's wiring: once bare epochs are disowned, no
+        stream-identified caller ever matches them again, whatever
+        include_legacy says — the durable decision lives with the durable
+        state. A caller with NO stream identity (stream_id=None) commits and
+        replays bare keys by construction, so its own keys keep matching."""
         keys = self.committed_epoch_keys()
         if (stream_id, epoch) in keys:
             return True
-        return include_legacy and (None, epoch) in keys
+        if stream_id is None:
+            return False  # its bare key was already checked above
+        return (
+            include_legacy
+            and not self.legacy_epochs_disowned()
+            and (None, epoch) in keys
+        )
 
     # -- legacy-epoch disownment (durable rebuild decision) -------------------
     def disown_legacy_epochs(self) -> None:
@@ -265,15 +289,10 @@ class TripleStore:
         if os.path.exists(p):
             return
         tmp = os.path.join(self.root, f"_tmp-disown-{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            json.dump({"disowned_at": time.strftime(
-                "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, f)
-        try:
-            os.link(tmp, p)
-        except FileExistsError:
-            pass
-        finally:
-            os.remove(tmp)
+        # losing the race is fine: the marker is idempotent
+        self._publish_exclusive(tmp, p, {
+            "disowned_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        })
 
     def legacy_epochs_disowned(self) -> bool:
         return os.path.exists(
@@ -298,12 +317,13 @@ class TripleStore:
         # tmp name must NOT end in .json — manifest readers glob *.json and
         # must never observe a half-written file
         tmp_mf = os.path.join(self.manifest_dir, f"_tmp-{manifest['unit']}")
-        with open(tmp_mf, "w") as f:
-            json.dump(manifest, f, indent=1)
-        try:
-            os.link(tmp_mf, os.path.join(self.manifest_dir, name))
-        finally:
-            os.remove(tmp_mf)
+        if not self._publish_exclusive(
+            tmp_mf, os.path.join(self.manifest_dir, name), manifest
+        ):
+            raise FileExistsError(
+                f"manifest seq {manifest['seq']} already claimed ({name}): "
+                "two writers raced the same sequence number"
+            )
 
     # -- read ----------------------------------------------------------------
     def _read_units(self, spark: SparkSession, units: list[str]) -> DataFrame:

@@ -185,21 +185,15 @@ def canonicalize_proponents(facts: DataFrame, mapping: DataFrame | None = None) 
         # actions that would otherwise each re-run the whole LSH+CC pipeline
         mapping = canon.canonical_mapping(mentions).localCheckpoint()
 
-    # regime probe runs EXECUTOR-SIDE (count + utf-8 byte budget over the
-    # bounded limit slice) before any collect: a dictionary over either
-    # budget must route to the join path WITHOUT first being pulled onto the
-    # driver — the cap+1 collect would itself be the OOM the guard exists to
-    # prevent (the same collect-as-probe hazard fixed in connected_components)
-    stats = (
-        mapping.limit(BROADCAST_MAPPING_MAX + 1)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.sum(F.octet_length("surface") + F.octet_length("rep")),
-                F.lit(0),
-            ).alias("nbytes"),
-        )
-        .first()
+    # regime probe runs EXECUTOR-SIDE before any collect: a dictionary over
+    # either budget must route to the join path WITHOUT first being pulled
+    # onto the driver (see kgx.util.bounded_stats for the idiom's rationale)
+    from kgx.util import bounded_stats
+
+    stats = bounded_stats(
+        mapping,
+        BROADCAST_MAPPING_MAX,
+        F.octet_length("surface") + F.octet_length("rep"),
     )
     if (
         stats["n"] > BROADCAST_MAPPING_MAX

@@ -326,29 +326,30 @@ def _process_epoch(
         # the hash join regardless of autoBroadcastJoinThreshold, so an
         # unguarded giant-backlog epoch would OOM the driver); an over-budget
         # mention set just takes the full canonicalization path, which
-        # handles any size. No localCheckpoint: the two probe actions
-        # recompute the O(batch) distinct from the persisted facts instead
-        # of leaving one-use checkpoint blocks behind every epoch.
-        m = mentions.distinct()
-        stats = (
-            m.limit(SKIP_PROBE_MAX_MENTIONS + 1)
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum(F.octet_length("surface")), F.lit(0)).alias(
-                    "nbytes"
-                ),
+        # handles any size. The distinct is persisted for the probe's two
+        # actions (and the broadcast build) and unpersisted right after —
+        # plain persist, not localCheckpoint: lineage-recoverable AND
+        # deterministically released, so epochs leave no one-use blocks.
+        from pyspark import StorageLevel
+
+        from kgx.util import bounded_stats
+
+        m = mentions.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            stats = bounded_stats(
+                m, SKIP_PROBE_MAX_MENTIONS, F.octet_length("surface")
             )
-            .first()
-        )
-        if (
-            stats["n"] <= SKIP_PROBE_MAX_MENTIONS
-            and stats["nbytes"] <= SKIP_PROBE_MAX_BYTES
-        ):
-            n_hit = (
-                known.join(F.broadcast(m), "surface")
-                .select("surface").distinct().count()
-            )
-            skip = n_hit == stats["n"]
+            if (
+                stats["n"] <= SKIP_PROBE_MAX_MENTIONS
+                and stats["nbytes"] <= SKIP_PROBE_MAX_BYTES
+            ):
+                n_hit = (
+                    known.join(F.broadcast(m), "surface")
+                    .select("surface").distinct().count()
+                )
+                skip = n_hit == stats["n"]
+        finally:
+            m.unpersist()
     if skip:
         mapping = known
     else:

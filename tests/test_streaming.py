@@ -434,6 +434,11 @@ def test_legacy_bare_epochs_do_not_swallow_a_rebuilt_run(spark, tmp_path):
     # still commit (round-5 review: a transient had_checkpoint flag regressed
     # here to silent data loss)
     assert store.legacy_epochs_disowned()
+    # enforcement lives in the STORE, not just ingest wiring: any
+    # stream-identified caller stops matching the dead bare keys, while a
+    # caller with no stream identity keeps matching its own bare commits
+    assert not store.is_epoch_committed(1, "some-other-stream-id")
+    assert store.is_epoch_committed(1, None)
     _write_pages(pages[8:], f"{pages_dir}/part-1.parquet")
     units2 = streaming.ingest_available_now(spark, pages_dir, store,
                                             dedup_content=True)
