@@ -63,14 +63,24 @@ class _EpochCaches:
     probe was metadata-sized but still O(units) forever).
 
     The content cache is re-based from the sidecars every REBASE_EVERY
-    extensions, bounding the union-chain lineage depth. Fault posture, stated
-    honestly: each extension's leaf is a one-column localCheckpoint (slim on
-    purpose — checkpointing the epoch's full-page frame instead would pin up
-    to REBASE_EVERY micro-batches of raw html in executor storage via
-    lineage), and localCheckpoint blocks are NOT replicated, so losing an
-    executor mid-run can fail the stream query; the recovery is restart-level,
-    not task-level — a restarted ingest re-seeds the cache from the durable
-    per-unit sidecars and the stream checkpoint replays the failed epoch."""
+    extensions, bounding the union-chain lineage depth. Fault posture: each
+    extension's leaf is a parquet READ of the unit's just-committed content
+    sidecar (TripleStore._write_content_sidecar publishes it before the
+    manifest, so by commit time it always exists) — exactly the rows the
+    epoch computed, but durable, so a lost executor recomputes the leaf from
+    disk at task level instead of failing the stream query (the round-5
+    design used a non-replicated localCheckpoint leaf here, whose block loss
+    was only restart-recoverable). The persisted union on top is plain
+    persist: evicted/lost blocks rebuild from the sidecar reads.
+
+    The ENTITY cache's leaf is still the epoch's localCheckpointed mapping
+    (pinning exactly one execution of LSH+CC); losing its blocks fails the
+    query and recovery is restart-level — the restarted run re-seeds from
+    the durable entity snapshots (entities_canonical=False, so the first
+    mapping-bearing epoch recomputes the full path). Re-reading the
+    just-written snapshot dir instead is NOT safe: save_entities' fold can
+    delete that dir, and the folded union of snapshots is not a function
+    (one rep per surface), so it cannot serve as the canonical mapping."""
 
     REBASE_EVERY = 32
 
@@ -102,14 +112,20 @@ class _EpochCaches:
             self._content_depth = 0
         return self._content
 
-    def extend_content(self, batch_shas: DataFrame) -> None:
-        """Fold one committed batch's shas into the cache (called only after
-        the commit lands, so the cache never claims uncommitted content)."""
-        # slim leaf: batch_shas' plan references the epoch's localCheckpointed
-        # FULL-PAGE frame; checkpointing the one sha column here releases that
-        # frame for cleanup when the epoch ends, instead of pinning every
-        # epoch's html payloads in block storage until the next rebase
-        slim = batch_shas.localCheckpoint()
+    def extend_content(self, spark: SparkSession, store, unit_id: str) -> None:
+        """Fold one committed unit's shas into the cache by reading the
+        unit's durable content sidecar (called only after the commit lands,
+        so the cache never claims uncommitted content). Reading the sidecar
+        rather than re-using the epoch's in-memory sha frame both (a) makes
+        the leaf task-level recoverable — the parquet survives executor
+        loss — and (b) drops the last reference to the epoch's
+        localCheckpointed full-page frame, releasing its html payloads for
+        cleanup when the epoch ends. Explicit schema: a unit whose pages all
+        yielded zero distinct shas writes an empty sidecar, and empty parquet
+        dirs defeat schema inference."""
+        slim = spark.read.schema("content_sha string").parquet(
+            os.path.join(store.content_dir, f"unit={unit_id}")
+        )
         if self._content is None:
             self._swap_content(slim)
         else:
@@ -364,7 +380,7 @@ def _process_epoch(
         content=batch_shas, epoch=epoch_id, stream_id=stream_id,
     )
     if caches is not None and batch_shas is not None:
-        caches.extend_content(batch_shas)
+        caches.extend_content(spark, store, unit)
     return unit
 
 

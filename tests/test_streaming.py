@@ -598,6 +598,47 @@ def test_content_cache_rebase_preserves_dedup(spark, tmp_path, monkeypatch):
     caches.release()
 
 
+def test_content_cache_survives_block_loss_mid_run(spark, tmp_path):
+    """Executor-loss posture of the in-run content cache (VERDICT r5 #2):
+    its leaves are durable sidecar READS, so dropping EVERY cached block in
+    the session mid-run (the local-mode stand-in for losing an executor)
+    leaves the cache recomputable from disk — the next epoch still dedups
+    committed content instead of failing or double-committing. The round-5
+    localCheckpoint leaves were non-recoverable by construction: clearing
+    them destroyed the only copy of the data."""
+    import pandas as pd
+
+    pages = fixtures.gen_pages(6)
+    store = TripleStore(str(tmp_path / "store_loss"), n_buckets=4)
+    store.claim_mode("streaming")
+    caches = streaming._EpochCaches()
+    for ep in range(2):
+        batch = spark.createDataFrame(pd.DataFrame(pages[3 * ep: 3 * ep + 3]))
+        assert streaming._process_epoch(
+            spark, store, batch, ep, True, stream_id="run-l", caches=caches
+        ) is not None
+
+    # drop every persisted/checkpointed block — the outer persisted union AND
+    # any leaf blocks — via the JVM persistent-RDD registry (DataFrame-level
+    # unpersist alone would leave leaf blocks alive and prove nothing)
+    for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        jrdd.unpersist(True)
+    # the ENTITY cache's leaf is an epoch-local localCheckpoint, documented
+    # restart-level; re-seed it from the durable store the way a restarted
+    # run would, so this test isolates the CONTENT cache's posture
+    caches.entities = None
+    caches._entities_loaded = False
+    caches.entities_canonical = False
+
+    mirrors = [{**p, "url": f"https://mirror.example/proj/88{i:02d}"}
+               for i, p in enumerate(pages)]
+    batch = spark.createDataFrame(pd.DataFrame(mirrors))
+    assert streaming._process_epoch(
+        spark, store, batch, 2, True, stream_id="run-l", caches=caches
+    ) is None, "mirrors of committed content must dedup through the rebuilt cache"
+    caches.release()
+
+
 def test_entity_dirs_stay_bounded_across_epochs(spark, tmp_path, monkeypatch):
     """save_entities folds snapshots past ENTITY_FOLD_MAX_DIRS so an
     un-vacuumed stream holds O(1) entity dirs, with the folded dictionary
