@@ -12,7 +12,14 @@ last-K average — a ratio near 1.0 means the loop does not slow down as the
 store accumulates units.
 
 Usage: python bench/endurance_bench.py [n_epochs] [pages_per_epoch] [cpus]
+                                       [phases]
 Writes BENCH/endurance_result.json; BENCH/BASELINE.md is curated by hand.
+
+Pass a 4th arg 'phases' to record per-phase wall (guard / dedup / extract /
+canon / commit / cache_extend) per epoch and the per-phase average — the
+attribution of the per-epoch fixed-cost floor on small micro-batches
+(VERDICT r5 #4). Phase mode forces one extra facts count per epoch to pin
+the extract/canon boundary, so run it separately from the headline ratio.
 """
 
 from __future__ import annotations
@@ -36,6 +43,7 @@ def main() -> None:
     n_epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     per = int(sys.argv[2]) if len(sys.argv) > 2 else 400
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    phases = len(sys.argv) > 4 and sys.argv[4] == "phases"
 
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=2 * cpus,
                       app_name="kgx-endurance-bench")
@@ -55,15 +63,19 @@ def main() -> None:
     caches = streaming._EpochCaches()
 
     walls: list[float] = []
+    phase_rows: list[dict] = []
     for ep in range(n_epochs):
         batch = spark.createDataFrame(
             pd.DataFrame(pages[ep * per:(ep + 1) * per]))
+        tm: dict | None = {} if phases else None
         t0 = time.perf_counter()
         unit = streaming._process_epoch(
             spark, store, batch, ep, True, stream_id="endurance",
-            caches=caches)
+            caches=caches, timings=tm)
         walls.append(round(time.perf_counter() - t0, 3))
         assert unit is not None, f"epoch {ep} committed nothing"
+        if tm is not None:
+            phase_rows.append(tm)
     caches.release()
 
     k = max(3, n_epochs // 6)
@@ -82,9 +94,25 @@ def main() -> None:
         "entity_dirs_final": ent_dirs,
         "units_final": len(store.manifests()),
     }
+    if phase_rows:
+        import statistics
+
+        keys = sorted({k for r in phase_rows for k in r})
+        result["phase_avg_sec"] = {
+            k: round(sum(r.get(k, 0.0) for r in phase_rows) / len(phase_rows), 3)
+            for k in keys
+        }
+        # median is the noise-resistant per-phase number (epoch 0 pays
+        # session warmup; contended-box outliers inflate single epochs)
+        result["phase_median_sec"] = {
+            k: round(statistics.median(r.get(k, 0.0) for r in phase_rows), 3)
+            for k in keys
+        }
+        result["phase_per_epoch"] = phase_rows
     print(json.dumps(result))
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/endurance_result.json", "w") as f:
+    out = "BENCH/endurance_phases.json" if phases else "BENCH/endurance_result.json"
+    with open(out, "w") as f:
         json.dump(result, f, indent=1)
     shutil.rmtree(work, ignore_errors=True)
 

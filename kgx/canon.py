@@ -375,6 +375,7 @@ def dedup_clusters(
     bucket_cap: int | None = None,
     n_bands: int = N_BANDS,
     threshold: float = JACCARD_THRESHOLD,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """(id, text) -> (id string, component): near-duplicate document clustering.
 
@@ -405,6 +406,19 @@ def dedup_clusters(
     standard for web near-dup; RefinedWeb/Gopher use 13-gram MinHash) and/or
     rows-per-band (lower ``n_bands``) so unrelated docs stop colliding —
     true near-dups share long grams and still collide reliably.
+
+    ``metrics``: an optional dict this call fills with blocking-stage counts
+    — ``n_reps`` (exact-dup representatives entering LSH),
+    ``candidate_pairs`` (post-band, post-sig-gate pairs reaching the exact
+    Jaccard check) and ``verified_pairs`` (edges surviving it). Diagnostics
+    mode for scale attribution: wall time should track candidate/verified
+    pair counts, and these counts make that checkable instead of argued.
+    Counting candidates re-executes the band join once from the checkpointed
+    reps (NOT pinned: the gated candidate rows carry two shingle arrays each,
+    and checkpointing a corpus-scale pair set of multi-KB arrays into block
+    storage is exactly the kind of hidden O(pairs·doc-size) memory cost this
+    engine avoids); verified edges are slim (a, b) rows and ARE pinned so the
+    count and connected components read one execution.
     """
     keyed = docs.select(
         F.col(id_col).cast("string").alias("surface"), F.col(text_col).alias("_text")
@@ -438,17 +452,20 @@ def dedup_clusters(
         .select("surface", "sh_hash", "sig")
         .localCheckpoint()
     )
-    edges = verified_edges(
-        candidate_pairs(
-            reps,
-            bucket_cap=bucket_cap,
-            n_bands=n_bands,
-            # 4 sigma under the exact-verify threshold: weak candidates die on
-            # the 512B sigs, true pairs reach the exact check
-            est_gate=max(0.0, threshold - 0.25),
-        ),
-        threshold=threshold,
+    cand = candidate_pairs(
+        reps,
+        bucket_cap=bucket_cap,
+        n_bands=n_bands,
+        # 4 sigma under the exact-verify threshold: weak candidates die on
+        # the 512B sigs, true pairs reach the exact check
+        est_gate=max(0.0, threshold - 0.25),
     )
+    edges = verified_edges(cand, threshold=threshold)
+    if metrics is not None:
+        metrics["n_reps"] = reps.count()
+        metrics["candidate_pairs"] = cand.select("a", "b").count()
+        edges = edges.localCheckpoint()
+        metrics["verified_pairs"] = edges.count()
     comp = connected_components(reps.select("surface"), edges)
     return members.join(
         comp.withColumnRenamed("surface", "erep"), "erep"

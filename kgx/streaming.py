@@ -253,6 +253,7 @@ def _process_epoch(
     stream_id: str | None = None,
     caches: _EpochCaches | None = None,
     honor_legacy_epochs: bool = True,
+    timings: dict | None = None,
 ) -> str | None:
     """One foreachBatch epoch: dedup (optional) -> extract -> canonicalize ->
     validate -> snapshot commit. Returns the unit id, or None when nothing
@@ -269,12 +270,30 @@ def _process_epoch(
     known-content and entity-dictionary DataFrames across epochs so the
     store's sidecars / entity dirs are read once per run, not once per
     micro-batch; None falls back to per-call store reads (the standalone
-    test/replay path)."""
+    test/replay path).
+
+    ``timings`` (optional): a dict this call fills with per-phase wall
+    seconds — guard / dedup / extract / canon / commit / cache_extend —
+    attributing the per-epoch fixed cost (bench/endurance_bench.py --phases).
+    Diagnostics-only caveat: the 'extract' phase forces a count() on the
+    persisted facts frame to separate kernel cost from canonicalization;
+    the untimed path leaves materialization to the first downstream action,
+    so phase boundaries (not totals) are what the flag changes."""
+    import time as _time
+
+    def _mark(key: str, t0: float) -> float:
+        now = _time.perf_counter()
+        if timings is not None:
+            timings[key] = round(timings.get(key, 0.0) + now - t0, 4)
+        return now
+
+    t = _time.perf_counter()
     if store.is_epoch_committed(epoch_id, stream_id,
                                 include_legacy=honor_legacy_epochs):
         return None
     if not batch_df.take(1):
         return None
+    t = _mark("guard", t)
     batch_shas = None
     if dedup_content:
         from pyspark.sql import Window
@@ -309,7 +328,11 @@ def _process_epoch(
         batch_df = keyed.drop("content_sha")
         if not batch_df.take(1):
             return None
+    t = _mark("dedup", t)
     facts = pipeline.extract_stage(spark, batch_df)
+    if timings is not None:
+        facts.count()  # materialize the persisted facts inside this phase
+    t = _mark("extract", t)
     mentions = facts.filter(F.col("pred") == "project_proponents").select(
         F.explode("surfaces").alias("surface")
     )
@@ -373,14 +396,17 @@ def _process_epoch(
         store.save_entities(mapping, fold_max_dirs=ENTITY_FOLD_MAX_DIRS)
         if caches is not None:
             caches.set_entities(mapping)
+    t = _mark("canon", t)
     final = pipeline.canonicalize_proponents(facts, mapping)
     flagged, metrics = extract.validate_triples(pipeline._to_triples(final))
     unit = store.commit(
         flagged.drop("valid"), buckets=[], metrics=metrics,
         content=batch_shas, epoch=epoch_id, stream_id=stream_id,
     )
+    t = _mark("commit", t)
     if caches is not None and batch_shas is not None:
         caches.extend_content(spark, store, unit)
+    _mark("cache_extend", t)
     return unit
 
 

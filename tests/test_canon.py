@@ -132,6 +132,34 @@ def test_dedup_clusters_exact_and_near(spark, shingle_k):
     assert len({labels[1], labels[4], labels[5]}) == 3
 
 
+def test_dedup_clusters_metrics_seam(spark):
+    """metrics= fills blocking-stage counts WITHOUT changing the clustering:
+    candidate pairs bound verified pairs, verified pairs are enough edges to
+    produce the observed merges, and the labeled output is identical to the
+    plain path's (the seam is diagnostics-only)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " tomorrow"),      # near dup of 1
+        (3, base + " yesterday ok"),  # near dup of 1/2
+        (4, "completely different content about spark shuffles and parquet"),
+        (5, "another unrelated doc on arrow batches and window functions"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    m: dict = {}
+    with_m = canon.dedup_clusters(docs, bucket_cap=100, metrics=m)
+    plain = canon.dedup_clusters(docs, bucket_cap=100)
+    assert with_m.exceptAll(plain).count() == 0
+    assert plain.exceptAll(with_m).count() == 0
+    assert set(m) == {"n_reps", "candidate_pairs", "verified_pairs"}
+    assert m["n_reps"] == 5
+    assert m["candidate_pairs"] >= m["verified_pairs"] >= 1
+    labels = {int(r.doc_id): r.component for r in with_m.collect()}
+    n_components = len(set(labels.values()))
+    # a clustering with C components over R reps needs >= R - C edges
+    assert m["verified_pairs"] >= m["n_reps"] - n_components
+
+
 def test_distributed_cc_long_chain_converges(spark, monkeypatch):
     """Diameter-60 chain forced down the distributed path: star contraction
     must merge it into ONE component well inside the round budget — the exact

@@ -86,3 +86,56 @@ def test_frame_sampling_fanout(spark):
     assert per_asset.keys() == metas.keys()
     for aid, n in per_asset.items():
         assert n == max(1, int(metas[aid] * 1.0))
+
+
+def test_real_pil_branch_with_injected_module(spark, monkeypatch, tmp_path):
+    """The GENUINE _real_decode body on workers, without PIL installed
+    (VERDICT r5 #5 — the embedder's injected-stub technique applied to the
+    decoder): a stub PIL package shipped via addPyFile proves whole batches
+    flow through PIL.Image.open(...).convert('RGB'), and an undecodable
+    payload falls back to the deterministic fake instead of killing the
+    task. The existing selection test swaps _real_decode out; this one runs
+    it for real."""
+    import zipfile
+
+    stub = (
+        "import numpy as np\n"
+        "class _Img:\n"
+        "    def __init__(self, data):\n"
+        "        self.data = data\n"
+        "    def convert(self, mode):\n"
+        "        assert mode == 'RGB'\n"
+        "        if len(self.data) < 18:\n"
+        "            raise ValueError('undecodable')\n"
+        "        return np.resize(np.frombuffer(self.data, np.uint8), 18)"
+        ".reshape(2, 3, 3)\n"
+        "def open(bio):\n"
+        "    return _Img(bio.read())\n"
+    )
+    zpath = tmp_path / "pilstub.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.writestr("PIL/__init__.py", "")
+        z.writestr("PIL/Image.py", stub)
+    # ships to every worker's sys.path for subsequent tasks; harmless for the
+    # rest of the session (nothing else imports PIL worker-side, and the
+    # driver's HAVE_REAL_DECODER was already evaluated at module import)
+    spark.sparkContext.addPyFile(str(zpath))
+    monkeypatch.setattr(mm, "HAVE_REAL_DECODER", True)
+
+    meta = {"width": 8, "height": 4, "sample_rate": None,
+            "duration_s": None, "codec": "png"}
+    good = bytes(range(40))
+    assets = spark.createDataFrame(
+        [(0, "image", good, meta), (1, "image", b"tiny", meta)], mm.ASSETS
+    )
+    rows = {r.asset_id: r for r in mm.decode_images(assets).collect()}
+
+    # decodable payload: exactly what the stub PIL produces (NOT the fake,
+    # whose output is seeded noise at meta's 8x4) — _real_decode ran
+    want = np.resize(np.frombuffer(good, np.uint8), 18).reshape(2, 3, 3)
+    assert rows[0].width == 3 and rows[0].height == 2
+    assert bytes(rows[0].pixels) == want.tobytes()
+    # undecodable payload: byte-equal to the deterministic fake at meta size
+    fake = mm._fake_decode(b"tiny", meta)
+    assert rows[1].width == 8 and rows[1].height == 4
+    assert bytes(rows[1].pixels) == fake.tobytes()
