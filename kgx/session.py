@@ -15,12 +15,27 @@ import os
 from pyspark.sql import SparkSession
 
 
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     app_name: str = "kgx",
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state_store: bool = False,
 ) -> SparkSession:
+    """``rocksdb_state_store=True`` switches streaming state to the RocksDB
+    provider — the web-scale requirement for unbounded keyed state
+    (first_seen_by_content with ttl=None holds one entry per distinct
+    content ever seen; the default HDFS-backed provider keeps that on the
+    executor HEAP, RocksDB spills it to local disk). Runtime-settable too:
+    the provider is read per streaming query, so
+    ``spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    ROCKSDB_STATE_PROVIDER)`` before ``start()`` has the same effect on an
+    existing session."""
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
@@ -51,6 +66,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
     )
+    if rocksdb_state_store:
+        b = b.config(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_PROVIDER
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -449,8 +449,10 @@ def first_seen_by_content(
     - ``ttl=None`` (default): exact dedup across ALL time — the semantics the
       reference's cache had. State grows with the number of distinct contents
       ever seen; a long-running stream at web scale needs the RocksDB state
-      store (`spark.sql.streaming.stateStore.providerClass`) so state spills
-      to disk instead of executor heap.
+      store (`kgx.session.get_spark(rocksdb_state_store=True)`, or set
+      `spark.sql.streaming.stateStore.providerClass` before start()) so
+      state spills to local disk instead of executor heap — exercised under
+      both providers in tests/test_streaming.py.
     - ``ttl='30 days'`` (an interval string): exact dedup within an EVENT-TIME
       horizon. A content hash re-arriving more than ttl after its last
       sighting (by ``warc_ts``) is treated as fresh and re-emits; state is

