@@ -108,16 +108,19 @@ def _rewrite_join(props: DataFrame, mapping: DataFrame) -> DataFrame:
     the default below the cap.
 
     Row identity is the fact's natural key (url, warc_ts, content_sha, pred)
-    DISAMBIGUATED by xxhash64(obj): a crawl can carry TWO sections that both
+    DISAMBIGUATED by sha2(obj): a crawl can carry TWO sections that both
     categorize as project_proponents (kernel.page_facts emits one fact per
     categorized section), so the bare natural key is not unique — merging
     such rows would zip one row's surfaces against the union of both rows'
     reps, silently rewriting organizations to unrelated names. ``obj`` (the
     canonical JSON of the fact) fully determines ``surfaces``, so rows that
-    still collide after adding its hash are byte-identical and merge
-    harmlessly (collect_set dedups their identical (pos, rep) pairs; the
-    hash-collision scope is the handful of same-pred rows within ONE crawl,
-    not a global birthday bound). Earlier versions pinned a synthetic
+    still collide on the full key are byte-identical and merge harmlessly
+    (collect_set dedups their identical (pos, rep) pairs). sha2-256, not
+    xxhash64 (round-5 advice): a 64-bit collision between two DIFFERENT
+    same-pred objs in one crawl would silently cross-zip two sections'
+    reps — a wrong-data mode, however narrow; 256 bits closes it for the
+    cost of ~56 extra bytes per exploded mention row, cheaper than carrying
+    ``obj`` itself through the mention shuffle. Earlier versions pinned a synthetic
     monotonically_increasing_id with localCheckpoint; that stored the full
     proponent slice in NON-REPLICATED executor memory, so on the very path
     that only engages for huge corpora a single executor loss killed the job.
@@ -127,7 +130,7 @@ def _rewrite_join(props: DataFrame, mapping: DataFrame) -> DataFrame:
     nk = ["url", "warc_ts", "content_sha", "pred", "_ok"]
     keyed = props.select(
         "url", "warc_ts", "content_sha", "pred", "obj", "surfaces"
-    ).withColumn("_ok", F.xxhash64("obj"))
+    ).withColumn("_ok", F.sha2(F.col("obj"), 256))
     ex = keyed.select(*nk, F.posexplode("surfaces").alias("_pos", "surface"))
     diff = mapping.filter(F.col("surface") != F.col("rep"))
     resolved = ex.join(diff, "surface", "left").select(

@@ -140,7 +140,13 @@ _SECTION_KEYS = ("url", "warc_ts", "content_sha", "category", "sec_idx")
 
 # Persisted chunk frames created by _chunked_single_topk, kept so the
 # cross-validation path can release executor memory deterministically.
+# Bounded FIFO (round-5 advice): a session that builds relational contexts
+# repeatedly without calling release_context_caches() would otherwise pin
+# cache blocks forever (the module-global strong ref defeats ContextCleaner
+# GC); evicting the oldest entry past the cap unpersists it — by then its
+# consumers have long been materialized, and a late re-use just recomputes.
 _CACHED_CHUNKS: list[DataFrame] = []
+_CACHED_CHUNKS_MAX = 8
 
 
 def release_context_caches() -> None:
@@ -196,6 +202,8 @@ def _chunked_single_topk(bodies: DataFrame):
         StorageLevel.MEMORY_AND_DISK
     )
     _CACHED_CHUNKS.append(chunked)
+    while len(_CACHED_CHUNKS) > _CACHED_CHUNKS_MAX:
+        _CACHED_CHUNKS.pop(0).unpersist()
     single = chunked.filter(F.col("n_chunks") <= 1).select(
         "url", "warc_ts", "content_sha", "category",
         F.regexp_replace("chunk", _STRIP_RE, "").alias("context"),
@@ -245,7 +253,8 @@ _CTX_SCHEMA = (
 
 
 def _refine_group_fn(mode: str, threshold: float):
-    """applyInPandas kernel for one (url, category) chunk group: retrieval
+    """applyInPandas kernel for one section-of-one-crawl chunk group (grouped
+    by _SECTION_KEYS — url, warc_ts, content_sha, category, sec_idx): retrieval
     top-k (score desc, chunk_id asc), greedy redundancy drop, then either
     re-join survivors in document order ('redundant') or keep the single best
     ('best1'). The greedy pass is inherently sequential, but a group is one
@@ -295,11 +304,13 @@ def contexts_refined(
     threshold against an earlier-retained chunk), joined in document order —
     the EmbeddingsRedundantFilter stage.
     mode='best1': the full reference compression pipeline — redundancy drop
-    then EmbeddingsFilter(k=1) keep-best — one chunk per (url, category).
+    then EmbeddingsFilter(k=1) keep-best — one chunk per section per crawl.
 
     Shapes: chunk-explode + score exactly like contexts(); the per-group
-    greedy filter runs in applyInPandas over (url, category) — group-local,
-    O(chunks-per-section) each. Single-chunk sections bypass scoring entirely.
+    greedy filter runs in applyInPandas over _SECTION_KEYS (url, warc_ts,
+    content_sha, category, sec_idx — one group per section of one crawl),
+    group-local, O(chunks-per-section) each. Single-chunk sections bypass
+    scoring entirely.
     Byte-equal to kernel.select_context_{redundant,best1} (tested)."""
     if mode not in ("best1", "redundant"):
         raise ValueError(f"unknown mode {mode!r}")
