@@ -634,6 +634,39 @@ class TripleStore:
             return None
         return spark.read.parquet(*parts).select("surface", "rep").distinct()
 
+    def stage_mapping(self, mapping: DataFrame, key: str) -> str:
+        """Durably materialize one run-scoped canonical mapping under
+        ``mapping_cache/<key>`` and return the path — the streaming epoch
+        loop's task-recoverable substitute for localCheckpoint-ing the
+        mapping (the entities dir can't serve: save_entities' fold may
+        delete the snapshot it just wrote, and the snapshot UNION is not a
+        one-rep-per-surface function). One write executes the LSH+CC plan
+        exactly once; the read-back is plain parquet, so a lost executor
+        recomputes from disk at task level.
+
+        Lifecycle: every staged mapping supersedes all prior ones (the new
+        mapping's node set is a superset), so after the rename every OTHER
+        entry is deleted — the cache dir holds exactly one mapping, and a
+        crashed run leaves at most one, reclaimed by the next run's first
+        stage. Deliberately NOT swept by vacuum(): a stable stream can skip
+        canonicalization for arbitrarily long while its in-run cache still
+        references this parquet for block-loss recompute."""
+        import shutil
+
+        d = os.path.join(self.root, "mapping_cache")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(self.root, f"_tmp-map-{key}")
+        mapping.select("surface", "rep").write.mode("overwrite").parquet(tmp)
+        final = os.path.join(d, key)
+        # an epoch replayed after a crash between stage and commit re-stages
+        # the same key: replace, don't fail
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
+        for name in os.listdir(d):
+            if name != key:
+                shutil.rmtree(os.path.join(d, name), ignore_errors=True)
+        return final
+
     def save_entities(
         self, mapping: DataFrame, fold_max_dirs: int | None = None
     ) -> None:

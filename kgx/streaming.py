@@ -73,14 +73,15 @@ class _EpochCaches:
     was only restart-recoverable). The persisted union on top is plain
     persist: evicted/lost blocks rebuild from the sidecar reads.
 
-    The ENTITY cache's leaf is still the epoch's localCheckpointed mapping
-    (pinning exactly one execution of LSH+CC); losing its blocks fails the
-    query and recovery is restart-level — the restarted run re-seeds from
-    the durable entity snapshots (entities_canonical=False, so the first
-    mapping-bearing epoch recomputes the full path). Re-reading the
-    just-written snapshot dir instead is NOT safe: save_entities' fold can
-    delete that dir, and the folded union of snapshots is not a function
-    (one rep per surface), so it cannot serve as the canonical mapping."""
+    The ENTITY cache's leaf is likewise durable: each mapping-bearing epoch
+    stages its mapping to the store's ``mapping_cache/`` scratch
+    (TripleStore.stage_mapping — one execution of LSH+CC into parquet) and
+    the cache holds the read-back frame. Re-reading the entities-dir
+    snapshot instead would NOT be safe — save_entities' fold can delete the
+    dir it just wrote, and the folded union of snapshots is not a function
+    (one rep per surface) — hence the dedicated scratch. Net: every frame
+    this cache holds across epochs recomputes from disk on block loss; no
+    cross-epoch state lives only in executor memory."""
 
     REBASE_EVERY = 32
 
@@ -392,7 +393,17 @@ def _process_epoch(
     if skip:
         mapping = known
     else:
-        mapping = canon.canonical_mapping(mentions, known=known).localCheckpoint()
+        # durable leaf (round 6): the mapping is written ONCE to the store's
+        # run-scoped scratch (one execution of LSH+CC) and read back as
+        # plain parquet — every cross-epoch frame the cache holds is now
+        # task-level recoverable, where the round-5 localCheckpoint died
+        # with its executor. save_entities then copies from the read-back
+        # (a slim scan, no recompute).
+        staged = store.stage_mapping(
+            canon.canonical_mapping(mentions, known=known),
+            f"{stream_id or 'run'}-{epoch_id}",
+        )
+        mapping = spark.read.schema("surface string, rep string").parquet(staged)
         store.save_entities(mapping, fold_max_dirs=ENTITY_FOLD_MAX_DIRS)
         if caches is not None:
             caches.set_entities(mapping)

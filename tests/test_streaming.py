@@ -635,7 +635,7 @@ def test_content_cache_survives_block_loss_mid_run(spark, tmp_path):
     them destroyed the only copy of the data."""
     import pandas as pd
 
-    pages = fixtures.gen_pages(6)
+    pages = fixtures.gen_pages(9)
     store = TripleStore(str(tmp_path / "store_loss"), n_buckets=4)
     store.claim_mode("streaming")
     caches = streaming._EpochCaches()
@@ -647,22 +647,26 @@ def test_content_cache_survives_block_loss_mid_run(spark, tmp_path):
 
     # drop every persisted/checkpointed block — the outer persisted union AND
     # any leaf blocks — via the JVM persistent-RDD registry (DataFrame-level
-    # unpersist alone would leave leaf blocks alive and prove nothing)
+    # unpersist alone would leave leaf blocks alive and prove nothing). BOTH
+    # caches must survive: content leaves are sidecar reads, the entity leaf
+    # is the staged-mapping parquet (round-6 stage_mapping), so nothing the
+    # caches hold across epochs lives only in executor memory.
     for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
         jrdd.unpersist(True)
-    # the ENTITY cache's leaf is an epoch-local localCheckpoint, documented
-    # restart-level; re-seed it from the durable store the way a restarted
-    # run would, so this test isolates the CONTENT cache's posture
-    caches.entities = None
-    caches._entities_loaded = False
-    caches.entities_canonical = False
+    assert caches.entities is not None and caches.entities_canonical
 
     mirrors = [{**p, "url": f"https://mirror.example/proj/88{i:02d}"}
-               for i, p in enumerate(pages)]
+               for i, p in enumerate(pages[:6])]
     batch = spark.createDataFrame(pd.DataFrame(mirrors))
     assert streaming._process_epoch(
         spark, store, batch, 2, True, stream_id="run-l", caches=caches
     ) is None, "mirrors of committed content must dedup through the rebuilt cache"
+    # NEW content commits through the entity cache's durable read-back (skip
+    # probe or full canonicalization, both consume `known` after block loss)
+    batch = spark.createDataFrame(pd.DataFrame(pages[6:9]))
+    assert streaming._process_epoch(
+        spark, store, batch, 3, True, stream_id="run-l", caches=caches
+    ) is not None
     caches.release()
 
 
