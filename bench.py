@@ -132,7 +132,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("KGX_BENCH_PAGES", "4000"))
-    passes = int(os.environ.get("KGX_BENCH_PASSES", "2"))
+    passes = max(1, int(os.environ.get("KGX_BENCH_PASSES", "2")))
     result = run_bench(sf_dir, cpus, n_pages, passes=passes)
     print(json.dumps(result))
 

@@ -387,8 +387,11 @@ class TripleStore:
         unchanged; as-of reads on merged-away boundaries fail loudly (see
         read_as_of). Crash-safe ordering: (1) write merged data, (2) publish
         the merged manifest whose ``replaces`` list atomically supersedes the
-        old units, (3) garbage-collect old files — a crash after (2) leaves
-        only unreferenced garbage, never a wrong table."""
+        old units, (3) garbage-collect old DATA files — a crash after (2)
+        leaves only unreferenced garbage, never a wrong table. Victims'
+        content sidecars are left for vacuum()'s grace-windowed sweep (a
+        live ingest's content cache may still hold read leaves over them —
+        see the inline note at the GC step)."""
         import shutil
 
         ms = sorted(self.manifests(), key=lambda m: (m.get("seq", 0), m["unit"]))
@@ -456,8 +459,15 @@ class TripleStore:
         for m in victims:
             shutil.rmtree(os.path.join(self.data_dir, f"unit={m['unit']}"),
                           ignore_errors=True)
-            shutil.rmtree(os.path.join(self.content_dir, f"unit={m['unit']}"),
-                          ignore_errors=True)
+            # victims' CONTENT sidecars are deliberately NOT deleted here:
+            # a live ingest run's content cache holds parquet-read leaves
+            # over them (streaming._EpochCaches.extend_content) for up to
+            # REBASE_EVERY epochs after this compaction — an immediate
+            # delete would turn the leaf's task-level block-loss recompute
+            # into FileNotFoundException. Once the merged manifest lands
+            # they are unreferenced by any NEW reader, so vacuum()'s
+            # grace-windowed orphan sweep collects them; size an operator
+            # vacuum's grace above the longest expected ingest run.
         return unit_id
 
     def vacuum(self, spark: SparkSession, grace_s: float = 6 * 3600) -> dict:
@@ -634,27 +644,32 @@ class TripleStore:
             return None
         return spark.read.parquet(*parts).select("surface", "rep").distinct()
 
-    def stage_mapping(self, mapping: DataFrame, key: str) -> str:
+    def stage_mapping(self, mapping: DataFrame, run: str, epoch: int) -> str:
         """Durably materialize one run-scoped canonical mapping under
-        ``mapping_cache/<key>`` and return the path — the streaming epoch
-        loop's task-recoverable substitute for localCheckpoint-ing the
+        ``mapping_cache/<run>-<epoch>`` and return the path — the streaming
+        epoch loop's task-recoverable substitute for localCheckpoint-ing the
         mapping (the entities dir can't serve: save_entities' fold may
         delete the snapshot it just wrote, and the snapshot UNION is not a
         one-rep-per-surface function). One write executes the LSH+CC plan
         exactly once; the read-back is plain parquet, so a lost executor
         recomputes from disk at task level.
 
-        Lifecycle: every staged mapping supersedes all prior ones (the new
-        mapping's node set is a superset), so after the rename every OTHER
-        entry is deleted — the cache dir holds exactly one mapping, and a
-        crashed run leaves at most one, reclaimed by the next run's first
-        stage. Deliberately NOT swept by vacuum(): a stable stream can skip
-        canonicalization for arbitrarily long while its in-run cache still
-        references this parquet for block-loss recompute."""
+        Lifecycle: within ONE run every staged mapping supersedes the run's
+        prior ones (the new mapping's node set is a superset), so after the
+        rename every other entry of the SAME run is deleted. Entries of
+        OTHER runs are left alone here — a foreign delete from a standalone
+        caller would yank the parquet a live run's entity cache still reads
+        (review r6) — and are cleared by clear_mapping_cache() when a new
+        ingest run starts (at most one live stream per store: they would
+        collide on the stream checkpoint). Deliberately NOT swept by
+        vacuum(): a stable stream can skip canonicalization for arbitrarily
+        long while its in-run cache references this parquet for block-loss
+        recompute."""
         import shutil
 
         d = os.path.join(self.root, "mapping_cache")
         os.makedirs(d, exist_ok=True)
+        key = f"{run}-{epoch}"
         tmp = os.path.join(self.root, f"_tmp-map-{key}")
         mapping.select("surface", "rep").write.mode("overwrite").parquet(tmp)
         final = os.path.join(d, key)
@@ -663,9 +678,21 @@ class TripleStore:
         shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)
         for name in os.listdir(d):
-            if name != key:
+            if name != key and name.startswith(f"{run}-"):
                 shutil.rmtree(os.path.join(d, name), ignore_errors=True)
         return final
+
+    def clear_mapping_cache(self) -> None:
+        """Drop every staged mapping — called when a NEW ingest run starts
+        (before its stream query spins up, so nothing live references the
+        entries): prior runs are dead by construction, their scratch is
+        garbage."""
+        import shutil
+
+        d = os.path.join(self.root, "mapping_cache")
+        if os.path.isdir(d):
+            for name in os.listdir(d):
+                shutil.rmtree(os.path.join(d, name), ignore_errors=True)
 
     def save_entities(
         self, mapping: DataFrame, fold_max_dirs: int | None = None

@@ -210,6 +210,10 @@ def ingest_available_now(
         # dead run's bare epoch ids would silently swallow new batches again.
         store.disown_legacy_epochs()
     honor_legacy = had_checkpoint and not store.legacy_epochs_disowned()
+    # prior runs' staged-mapping scratch is garbage once a new run starts
+    # (one live stream per store — two would collide on the checkpoint);
+    # clear BEFORE the query spins up, while nothing references the entries
+    store.clear_mapping_cache()
     committed: list[str] = []
     caches = _EpochCaches()
 
@@ -401,7 +405,7 @@ def _process_epoch(
         # (a slim scan, no recompute).
         staged = store.stage_mapping(
             canon.canonical_mapping(mentions, known=known),
-            f"{stream_id or 'run'}-{epoch_id}",
+            stream_id or "run", epoch_id,
         )
         mapping = spark.read.schema("surface string, rep string").parquet(staged)
         store.save_entities(mapping, fold_max_dirs=ENTITY_FOLD_MAX_DIRS)

@@ -40,15 +40,11 @@ class _KillAfterNCommits(TripleStore):
         return super().commit(*a, **kw)
 
 
-class _KillAfterFirstCommit(_KillAfterNCommits):
-    kill_after = 1
-
-
 def test_kill_and_resume_identical(spark, small_pages, tmp_path):
     oneshot = _triple_set(pipeline.build_triples(spark, small_pages))
 
     root = str(tmp_path / "store")
-    crashing = _KillAfterFirstCommit(root, n_buckets=8)
+    crashing = _KillAfterNCommits(root, n_buckets=8)
     with pytest.raises(RuntimeError, match="simulated crash"):
         pipeline.run_checkpointed(spark, small_pages, crashing, groups=3)
 
@@ -413,3 +409,52 @@ def test_vacuum_finishes_crashed_compaction_gc(spark, small_pages, tmp_path):
     )
     assert sorted(os.listdir(fresh.data_dir)) == [f"unit={merged}"]
     assert _triple_set(TripleStore(store.root, n_buckets=4).read(spark)) == before
+
+
+def test_compact_defers_sidecar_gc_to_vacuum(spark, small_pages, tmp_path):
+    """compact() must leave victims' content sidecars on disk (a live
+    ingest's content cache holds parquet-read leaves over them for up to
+    REBASE_EVERY epochs — review r6); once unreferenced they are vacuum's
+    job, and known_content stays correct throughout because it reads
+    manifest-driven paths, never the leftovers."""
+    import os
+
+    store = TripleStore(str(tmp_path / "csg"), n_buckets=4)
+    units = pipeline.run_checkpointed(spark, small_pages, store, groups=4)
+    assert len(units) >= 2
+    shas_before = {r.content_sha for r in store.known_content(spark).collect()}
+
+    merged = store.compact(spark)
+    leftover = [d for d in os.listdir(os.path.join(store.root, "content"))
+                if d.startswith("unit=") and d != f"unit={merged}"]
+    assert leftover, "compact deleted victim sidecars a live cache may read"
+    assert {r.content_sha
+            for r in store.known_content(spark).collect()} == shas_before
+
+    removed = store.vacuum(spark, grace_s=0.0)
+    assert removed["orphans_removed"] >= len(leftover)
+    assert [d for d in os.listdir(os.path.join(store.root, "content"))
+            if d.startswith("unit=")] == [f"unit={merged}"]
+    assert {r.content_sha
+            for r in store.known_content(spark).collect()} == shas_before
+
+
+def test_stage_mapping_scoped_per_run(spark, tmp_path):
+    """stage_mapping deletes only the SAME run's prior entries — a foreign
+    run's staged mapping (still referenced by that run's live entity cache)
+    must survive; clear_mapping_cache (new-run start) wipes everything."""
+    import os
+
+    store = TripleStore(str(tmp_path / "mc"), n_buckets=2)
+    m = spark.createDataFrame([("a", "a"), ("b", "a")], "surface string, rep string")
+    d = os.path.join(store.root, "mapping_cache")
+
+    store.stage_mapping(m, "runA", 0)
+    store.stage_mapping(m, "runB", 0)
+    store.stage_mapping(m, "runA", 5)  # supersedes runA-0, leaves runB-0
+    assert sorted(os.listdir(d)) == ["runA-5", "runB-0"]
+    got = spark.read.parquet(os.path.join(d, "runA-5")).collect()
+    assert {(r.surface, r.rep) for r in got} == {("a", "a"), ("b", "a")}
+
+    store.clear_mapping_cache()
+    assert os.listdir(d) == []
