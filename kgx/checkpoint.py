@@ -70,6 +70,27 @@ class TripleStore:
         finally:
             os.remove(tmp_path)
 
+    # -- atomic parquet publish (shared by sidecar / stage / entities / map) --
+    def _publish_parquet(
+        self, df: DataFrame, tmp_name: str, final_path: str, replace: bool = False
+    ) -> None:
+        """Write ``df`` as parquet to a ROOT-level tmp dir, then rename(2)
+        into place — the atomic-publish idiom every parquet artifact of the
+        store uses. ``tmp_name`` MUST carry one of vacuum()'s swept prefixes
+        (``_tmp-`` / ``_stage-tmp-`` / ``_ent-tmp-``): a crash between write
+        and rename leaves an orphan that the grace-windowed sweep reclaims,
+        and keeping the publish here keeps that naming contract in ONE place
+        instead of four hand-rolled copies (review r6). ``replace=True``
+        pre-deletes an existing final dir (a replayed epoch re-staging the
+        same key); the default rename fails over a non-empty existing dir."""
+        import shutil
+
+        tmp = os.path.join(self.root, tmp_name)
+        df.write.mode("overwrite").parquet(tmp)
+        if replace:
+            shutil.rmtree(final_path, ignore_errors=True)
+        os.rename(tmp, final_path)
+
     # -- mode guard ----------------------------------------------------------
     def claim_mode(self, mode: str) -> None:
         """Stamp the store with its ingest mode on first use; refuse the other
@@ -146,9 +167,11 @@ class TripleStore:
         reference's Redis content cache (initial_pipeline/app.py:70-81) at
         snapshot-store scale — instead of re-reading every committed unit's
         triple data per probe."""
-        tmp = os.path.join(self.root, f"_tmp-content-{unit_id}")
-        content.select("content_sha").distinct().write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, os.path.join(self.content_dir, f"unit={unit_id}"))
+        self._publish_parquet(
+            content.select("content_sha").distinct(),
+            f"_tmp-content-{unit_id}",
+            os.path.join(self.content_dir, f"unit={unit_id}"),
+        )
 
     def commit(
         self,
@@ -461,13 +484,18 @@ class TripleStore:
                           ignore_errors=True)
             # victims' CONTENT sidecars are deliberately NOT deleted here:
             # a live ingest run's content cache holds parquet-read leaves
-            # over them (streaming._EpochCaches.extend_content) for up to
-            # REBASE_EVERY epochs after this compaction — an immediate
-            # delete would turn the leaf's task-level block-loss recompute
-            # into FileNotFoundException. Once the merged manifest lands
-            # they are unreferenced by any NEW reader, so vacuum()'s
-            # grace-windowed orphan sweep collects them; size an operator
-            # vacuum's grace above the longest expected ingest run.
+            # over them (streaming._EpochCaches) — an immediate delete would
+            # turn the leaf's task-level block-loss recompute into
+            # FileNotFoundException. The cache drops every victim reference
+            # within REBASE_EVERY probes (it re-bases on PROBE count, so
+            # even a stream whose batches fully dedup re-bases — review
+            # r6), and touching the sidecar's mtime here restarts vacuum's
+            # grace clock at this compaction: a vacuum whose grace exceeds
+            # REBASE_EVERY micro-batch intervals can never yank a sidecar a
+            # live cache still references.
+            side = os.path.join(self.content_dir, f"unit={m['unit']}")
+            if os.path.isdir(side):
+                os.utime(side, None)
         return unit_id
 
     def vacuum(self, spark: SparkSession, grace_s: float = 6 * 3600) -> dict:
@@ -603,9 +631,9 @@ class TripleStore:
 
     # -- staging (phase A of a run: facts persisted before global canon) -------
     def stage(self, facts: DataFrame, key: str, buckets: list[int]) -> None:
-        tmp = os.path.join(self.root, f"_stage-tmp-{key}")
-        facts.write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, os.path.join(self.staging_dir, f"unit={key}"))
+        self._publish_parquet(
+            facts, f"_stage-tmp-{key}", os.path.join(self.staging_dir, f"unit={key}")
+        )
         meta = {"key": key, "buckets": sorted(buckets)}
         tmp_mf = os.path.join(self.staging_dir, f"_tmp-{key}.json")
         with open(tmp_mf, "w") as f:
@@ -670,13 +698,12 @@ class TripleStore:
         d = os.path.join(self.root, "mapping_cache")
         os.makedirs(d, exist_ok=True)
         key = f"{run}-{epoch}"
-        tmp = os.path.join(self.root, f"_tmp-map-{key}")
-        mapping.select("surface", "rep").write.mode("overwrite").parquet(tmp)
         final = os.path.join(d, key)
-        # an epoch replayed after a crash between stage and commit re-stages
-        # the same key: replace, don't fail
-        shutil.rmtree(final, ignore_errors=True)
-        os.rename(tmp, final)
+        # replace: an epoch replayed after a crash between stage and commit
+        # re-stages the same key
+        self._publish_parquet(
+            mapping.select("surface", "rep"), f"_tmp-map-{key}", final, replace=True
+        )
         for name in os.listdir(d):
             if name != key and name.startswith(f"{run}-"):
                 shutil.rmtree(os.path.join(d, name), ignore_errors=True)
@@ -706,15 +733,51 @@ class TripleStore:
         dirs and re-union them every batch — the fold bounds both the dir
         count and the per-probe read to O(fold_max_dirs)."""
         key = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        self._publish_parquet(
+            mapping.select("surface", "rep"),
+            f"_ent-tmp-{key}",
+            os.path.join(self.entities_dir, key),
+        )
+        self._maybe_fold(mapping.sparkSession, fold_max_dirs)
+
+    def adopt_entities(
+        self,
+        spark: SparkSession,
+        src_dir: str,
+        fold_max_dirs: int | None = None,
+    ) -> None:
+        """Adopt an already-materialized (surface, rep) parquet directory —
+        the streaming loop's just-staged mapping (stage_mapping writes
+        exactly the save_entities column set) — as a new entity snapshot
+        WITHOUT re-executing a Spark write: hard-link the files into an
+        ``_ent-tmp-`` dir and rename, the same atomic publish as
+        save_entities at zero dictionary I/O and zero extra Spark jobs
+        (review r6: each mapping-bearing epoch previously wrote the
+        identical dictionary twice). The links keep the snapshot's bytes
+        alive after the source entry is deleted by stage_mapping
+        supersession or clear_mapping_cache; a cross-filesystem link error
+        falls back to a copy. ``fold_max_dirs`` as in save_entities."""
+        import shutil
+
+        key = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         tmp = os.path.join(self.root, f"_ent-tmp-{key}")
-        mapping.select("surface", "rep").write.mode("overwrite").parquet(tmp)
+        os.makedirs(tmp)
+        for name in os.listdir(src_dir):
+            s = os.path.join(src_dir, name)
+            if os.path.isfile(s):
+                try:
+                    os.link(s, os.path.join(tmp, name))
+                except OSError:
+                    shutil.copy2(s, os.path.join(tmp, name))
         os.rename(tmp, os.path.join(self.entities_dir, key))
-        if fold_max_dirs is not None:
-            n = sum(
-                1 for d in os.listdir(self.entities_dir) if not d.startswith("_")
-            )
-            if n > fold_max_dirs:
-                self._fold_entities(mapping.sparkSession)
+        self._maybe_fold(spark, fold_max_dirs)
+
+    def _maybe_fold(self, spark: SparkSession, fold_max_dirs: int | None) -> None:
+        if fold_max_dirs is None:
+            return
+        n = sum(1 for d in os.listdir(self.entities_dir) if not d.startswith("_"))
+        if n > fold_max_dirs:
+            self._fold_entities(spark)
 
     def _fold_entities(self, spark: SparkSession) -> int:
         """Rewrite the distinct union of every entity snapshot into ONE

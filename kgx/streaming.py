@@ -63,7 +63,11 @@ class _EpochCaches:
     probe was metadata-sized but still O(units) forever).
 
     The content cache is re-based from the sidecars every REBASE_EVERY
-    extensions, bounding the union-chain lineage depth. Fault posture: each
+    PROBES (not extensions — a stream whose batches fully dedup commits
+    nothing and would never extend, leaving victim-sidecar references from a
+    pre-run compact() alive for the whole run; probe-count rebasing bounds
+    that window to REBASE_EVERY epochs, review r6), which also bounds the
+    union-chain lineage depth. Fault posture: each
     extension's leaf is a parquet READ of the unit's just-committed content
     sidecar (TripleStore._write_content_sidecar publishes it before the
     manifest, so by commit time it always exists) — exactly the rows the
@@ -88,7 +92,7 @@ class _EpochCaches:
     def __init__(self):
         self._content: DataFrame | None = None
         self._content_loaded = False
-        self._content_depth = 0
+        self._content_probes = 0
         self.entities: DataFrame | None = None
         self._entities_loaded = False
         # True only when `entities` is a mapping THIS run computed (one rep
@@ -107,10 +111,12 @@ class _EpochCaches:
             old.unpersist()
 
     def known_content(self, spark: SparkSession, store) -> DataFrame | None:
-        if not self._content_loaded or self._content_depth >= self.REBASE_EVERY:
+        if not self._content_loaded or self._content_probes >= self.REBASE_EVERY:
             self._swap_content(store.known_content(spark))
             self._content_loaded = True
-            self._content_depth = 0
+            self._content_probes = 0
+        else:
+            self._content_probes += 1
         return self._content
 
     def extend_content(self, spark: SparkSession, store, unit_id: str) -> None:
@@ -131,7 +137,6 @@ class _EpochCaches:
             self._swap_content(slim)
         else:
             self._swap_content(self._content.unionByName(slim))
-            self._content_depth += 1
         self._content_loaded = True
 
     def known_entities(self, spark: SparkSession, store) -> DataFrame | None:
@@ -143,13 +148,29 @@ class _EpochCaches:
     def set_entities(self, mapping: DataFrame) -> None:
         """The epoch's freshly-computed mapping supersedes the cache whole:
         canonical_mapping(known=...) carries every known surface AND rep into
-        its node set, so its output is a superset of the prior dictionary."""
-        self.entities = mapping
+        its node set, so its output is a superset of the prior dictionary.
+
+        The read-back is persisted MEMORY_AND_DISK (review r6): the skip
+        probe, regime probe, broadcast build, and canonicalize join all act
+        on it every epoch, and an unpersisted frame re-scans the staged
+        parquet per action; block loss still recomputes from the durable
+        parquet, so persisting strictly dominates. The superseded frame —
+        the prior epoch's persisted mapping, or the unpersisted store-seeded
+        union — derives from disk, not from the new frame, so it can be
+        dropped without materializing the new one first."""
+        from pyspark import StorageLevel
+
+        old = self.entities
+        self.entities = mapping.persist(StorageLevel.MEMORY_AND_DISK)
         self._entities_loaded = True
         self.entities_canonical = True
+        if old is not None:
+            old.unpersist()
 
     def release(self) -> None:
         self._swap_content(None)
+        if self.entities is not None:
+            self.entities.unpersist()
         self.entities = None
         self.entities_canonical = False
 
@@ -246,6 +267,12 @@ def ingest_available_now(
         # a failed stream must not leave the persisted cache (and its pinned
         # checkpoint lineage) in executor storage for the life of the session
         caches.release()
+        # with the cache gone nothing references the run's staged-mapping
+        # scratch; clearing here (vacuum never sweeps it by design) bounds
+        # leftover scratch to crash windows, which the next run's start-clear
+        # covers (review r6: a store ingested once then served read-only
+        # otherwise kept a dictionary-sized parquet forever)
+        store.clear_mapping_cache()
     return committed
 
 
@@ -401,14 +428,14 @@ def _process_epoch(
         # run-scoped scratch (one execution of LSH+CC) and read back as
         # plain parquet — every cross-epoch frame the cache holds is now
         # task-level recoverable, where the round-5 localCheckpoint died
-        # with its executor. save_entities then copies from the read-back
-        # (a slim scan, no recompute).
+        # with its executor. The entity snapshot then ADOPTS the staged
+        # files by hardlink (no second Spark write of the same dictionary).
         staged = store.stage_mapping(
             canon.canonical_mapping(mentions, known=known),
             stream_id or "run", epoch_id,
         )
         mapping = spark.read.schema("surface string, rep string").parquet(staged)
-        store.save_entities(mapping, fold_max_dirs=ENTITY_FOLD_MAX_DIRS)
+        store.adopt_entities(spark, staged, fold_max_dirs=ENTITY_FOLD_MAX_DIRS)
         if caches is not None:
             caches.set_entities(mapping)
     t = _mark("canon", t)

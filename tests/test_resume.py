@@ -439,6 +439,35 @@ def test_compact_defers_sidecar_gc_to_vacuum(spark, small_pages, tmp_path):
             for r in store.known_content(spark).collect()} == shas_before
 
 
+def test_compact_touches_victim_sidecar_mtimes(spark, small_pages, tmp_path):
+    """compact() must refresh victims' content-sidecar mtimes so vacuum's
+    grace clock starts at the COMPACTION, not the original commit: a live
+    ingest's content cache drops its victim references within REBASE_EVERY
+    probes of the compact, so any grace exceeding that window is then safe
+    regardless of how old the sidecar's commit was (review r6)."""
+    import os
+    import time as _time
+
+    store = TripleStore(str(tmp_path / "ctm"), n_buckets=4)
+    units = pipeline.run_checkpointed(spark, small_pages, store, groups=4)
+    assert len(units) >= 2
+    # age every sidecar far past any plausible grace window
+    old = _time.time() - 30 * 24 * 3600
+    for d in os.listdir(store.content_dir):
+        os.utime(os.path.join(store.content_dir, d), (old, old))
+
+    before = _time.time()
+    merged = store.compact(spark)
+    for d in os.listdir(store.content_dir):
+        if d.startswith("unit=") and d != f"unit={merged}":
+            mt = os.path.getmtime(os.path.join(store.content_dir, d))
+            assert mt >= before - 1, (
+                "victim sidecar mtime not refreshed: a vacuum with any "
+                "grace shorter than the sidecar's age would collect it "
+                "out from under a live cache"
+            )
+
+
 def test_stage_mapping_scoped_per_run(spark, tmp_path):
     """stage_mapping deletes only the SAME run's prior entries — a foreign
     run's staged mapping (still referenced by that run's live entity cache)

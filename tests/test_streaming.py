@@ -806,3 +806,95 @@ def test_null_html_pages_do_not_kill_the_job(spark, tmp_path):
     assert hashlib.sha256(b"").hexdigest() in {
         r.content_sha for r in store.known_content(spark).collect()
     }
+
+
+def test_dedup_only_epochs_still_rebase(spark, tmp_path, monkeypatch):
+    """The content cache re-bases on PROBE count, not extension count: a
+    stream whose batches fully dedup commits nothing (so it never extends),
+    yet must still re-seed from the sidecars every REBASE_EVERY epochs —
+    otherwise a pre-run compact()'s victim sidecars stay referenced for the
+    whole run and an operator vacuum can yank them (review r6)."""
+    import pandas as pd
+
+    monkeypatch.setattr(streaming._EpochCaches, "REBASE_EVERY", 2)
+    pages = fixtures.gen_pages(4)
+    store = TripleStore(str(tmp_path / "store_ponly"), n_buckets=4)
+    store.claim_mode("streaming")
+    caches = streaming._EpochCaches()
+    calls = {"content": 0}
+    orig_kc = store.known_content
+    store.known_content = lambda s: (
+        calls.__setitem__("content", calls["content"] + 1) or orig_kc(s)
+    )
+    batch = spark.createDataFrame(pd.DataFrame(pages))
+    assert streaming._process_epoch(
+        spark, store, batch, 0, True, stream_id="run-p", caches=caches
+    ) is not None
+    # every later batch is mirrors of committed content: dedups fully, no
+    # commit, no extension — only probes drive the rebase clock
+    for ep in range(1, 5):
+        mirrors = [{**p, "url": f"https://m{ep}.example/proj/6{ep}{i:02d}"}
+                   for i, p in enumerate(pages)]
+        batch = spark.createDataFrame(pd.DataFrame(mirrors))
+        assert streaming._process_epoch(
+            spark, store, batch, ep, True, stream_id="run-p", caches=caches
+        ) is None
+    assert calls["content"] >= 2, (
+        "dedup-only epochs never re-based: victim-sidecar references would "
+        "last the whole run"
+    )
+    caches.release()
+
+
+def test_entity_snapshot_adopted_from_staged_mapping(spark, tmp_path):
+    """A mapping-bearing epoch must publish its entity snapshot by ADOPTING
+    the just-staged mapping files (hardlink — same inodes, no second Spark
+    write of the dictionary), and the snapshot must survive the scratch
+    entry's deletion at run end."""
+    import pandas as pd
+
+    pages = fixtures.gen_pages(5)
+    store = TripleStore(str(tmp_path / "store_adopt"), n_buckets=4)
+    store.claim_mode("streaming")
+    caches = streaming._EpochCaches()
+    batch = spark.createDataFrame(pd.DataFrame(pages))
+    assert streaming._process_epoch(
+        spark, store, batch, 0, False, stream_id="run-a", caches=caches
+    ) is not None
+    scratch = os.path.join(store.root, "mapping_cache")
+    (staged_key,) = os.listdir(scratch)
+    (snap_key,) = [d for d in os.listdir(store.entities_dir)
+                   if not d.startswith("_")]
+    staged_inodes = {
+        n: os.stat(os.path.join(scratch, staged_key, n)).st_ino
+        for n in os.listdir(os.path.join(scratch, staged_key))
+    }
+    snap_dir = os.path.join(store.entities_dir, snap_key)
+    snap_inodes = {n: os.stat(os.path.join(snap_dir, n)).st_ino
+                   for n in os.listdir(snap_dir)}
+    assert snap_inodes == staged_inodes, "snapshot is a re-write, not an adopt"
+
+    expected = {(r.surface, r.rep) for r in caches.entities.collect()}
+    caches.release()
+    store.clear_mapping_cache()
+    got = {(r.surface, r.rep)
+           for r in store.known_entities(spark).collect()}
+    assert got == expected, "snapshot did not survive scratch deletion"
+
+
+def test_run_end_clears_mapping_scratch(spark, tmp_path):
+    """ingest_available_now must clear the run's staged-mapping scratch in
+    its finally block: a store ingested once and then served read-only must
+    not keep a dictionary-sized mapping_cache parquet forever (vacuum
+    deliberately never sweeps it)."""
+    pages = fixtures.gen_pages(6)
+    pages_dir = str(tmp_path / "inbox_sc")
+    _write_pages(pages, f"{pages_dir}/part-0.parquet")
+    store = TripleStore(str(tmp_path / "store_sc"), n_buckets=4)
+    units = streaming.ingest_available_now(spark, pages_dir, store,
+                                           dedup_content=True)
+    assert units
+    scratch = os.path.join(store.root, "mapping_cache")
+    assert os.listdir(scratch) == [], "run left staged-mapping scratch behind"
+    # the snapshot the scratch backed is intact
+    assert store.known_entities(spark).count() > 0
