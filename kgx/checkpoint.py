@@ -70,6 +70,13 @@ class TripleStore:
         finally:
             os.remove(tmp_path)
 
+    def _new_key(self) -> str:
+        """Millisecond-timestamp + uuid suffix — the id format for commit
+        units and entity snapshots. One definition: vacuum's sweeps and
+        snapshot listing rely on the shape, so the four minting sites must
+        not drift."""
+        return f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+
     # -- atomic parquet publish (shared by sidecar / stage / entities / map) --
     def _publish_parquet(
         self, df: DataFrame, tmp_name: str, final_path: str, replace: bool = False
@@ -203,7 +210,7 @@ class TripleStore:
         WITHIN one stream run — scoping the replay guard by stream id keeps a
         rebuilt checkpoint's genuinely-new batch 0 from colliding with an old
         run's committed epoch 0 (which silently dropped its data)."""
-        unit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        unit_id = self._new_key()
         final_dir = os.path.join(self.data_dir, f"unit={unit_id}")
         tmp_dir = os.path.join(self.root, f"_tmp-{unit_id}")
         # partition the files by pred, salt the write by subj-hash so one hot
@@ -424,7 +431,7 @@ class TripleStore:
         victims = ms[: max(0, len(ms) - keep_last)] if keep_last else ms
         if len(victims) < 2:
             return None
-        unit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        unit_id = self._new_key()
         final_dir = os.path.join(self.data_dir, f"unit={unit_id}")
         tmp_dir = os.path.join(self.root, f"_tmp-{unit_id}")
         df = self._read_units(spark, [m["unit"] for m in victims])
@@ -670,7 +677,16 @@ class TripleStore:
         ]
         if not parts:
             return None
-        return spark.read.parquet(*parts).select("surface", "rep").distinct()
+        # explicit schema: a snapshot can legitimately be EMPTY (a first
+        # epoch whose batch carried no entity mentions stages an empty
+        # mapping, which adopt_entities links in verbatim), and a part-less
+        # parquet dir defeats schema inference (review r6)
+        return (
+            spark.read.schema("surface string, rep string")
+            .parquet(*parts)
+            .select("surface", "rep")
+            .distinct()
+        )
 
     def stage_mapping(self, mapping: DataFrame, run: str, epoch: int) -> str:
         """Durably materialize one run-scoped canonical mapping under
@@ -732,7 +748,7 @@ class TripleStore:
         stream that never calls vacuum() would otherwise accumulate O(epochs)
         dirs and re-union them every batch — the fold bounds both the dir
         count and the per-probe read to O(fold_max_dirs)."""
-        key = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        key = self._new_key()
         self._publish_parquet(
             mapping.select("surface", "rep"),
             f"_ent-tmp-{key}",
@@ -759,7 +775,7 @@ class TripleStore:
         falls back to a copy. ``fold_max_dirs`` as in save_entities."""
         import shutil
 
-        key = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        key = self._new_key()
         tmp = os.path.join(self.root, f"_ent-tmp-{key}")
         os.makedirs(tmp)
         for name in os.listdir(src_dir):

@@ -168,10 +168,17 @@ class _EpochCaches:
             old.unpersist()
 
     def release(self) -> None:
+        """Drop every persisted block AND reset the loaded flags — a caches
+        object reused after release must re-seed from the store, not serve
+        'loaded but None' answers that would re-extract committed content
+        and canonicalize with known=None (review r6)."""
         self._swap_content(None)
+        self._content_loaded = False
+        self._content_probes = 0
         if self.entities is not None:
             self.entities.unpersist()
         self.entities = None
+        self._entities_loaded = False
         self.entities_canonical = False
 
 

@@ -487,3 +487,21 @@ def test_stage_mapping_scoped_per_run(spark, tmp_path):
 
     store.clear_mapping_cache()
     assert os.listdir(d) == []
+
+
+def test_empty_entity_snapshot_readable(spark, tmp_path):
+    """A snapshot can legitimately be EMPTY (first epoch with no entity
+    mentions stages an empty mapping; adopt_entities links it in verbatim);
+    known_entities must read it via its explicit schema instead of dying on
+    parquet schema inference."""
+    store = TripleStore(str(tmp_path / "es"), n_buckets=2)
+    empty = spark.createDataFrame([], "surface string, rep string")
+    staged = store.stage_mapping(empty, "runE", 0)
+    store.adopt_entities(spark, staged)
+    ke = store.known_entities(spark)
+    assert ke is not None and ke.count() == 0
+    # a later real snapshot unions fine with the empty one
+    m = spark.createDataFrame([("a", "a")], "surface string, rep string")
+    store.save_entities(m)
+    assert {(r.surface, r.rep) for r in store.known_entities(spark).collect()} \
+        == {("a", "a")}

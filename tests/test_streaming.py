@@ -898,3 +898,32 @@ def test_run_end_clears_mapping_scratch(spark, tmp_path):
     assert os.listdir(scratch) == [], "run left staged-mapping scratch behind"
     # the snapshot the scratch backed is intact
     assert store.known_entities(spark).count() > 0
+
+
+def test_caches_release_then_reuse_reseeds_from_store(spark, tmp_path):
+    """release() must reset the loaded flags along with the frames: a caches
+    object reused after release has to re-seed from the store — 'loaded but
+    None' answers would re-extract committed content (duplicate units) and
+    canonicalize with known=None (rep drift)."""
+    import pandas as pd
+
+    pages = fixtures.gen_pages(4)
+    store = TripleStore(str(tmp_path / "store_rr"), n_buckets=4)
+    store.claim_mode("streaming")
+    caches = streaming._EpochCaches()
+    batch = spark.createDataFrame(pd.DataFrame(pages))
+    assert streaming._process_epoch(
+        spark, store, batch, 0, True, stream_id="run-rr", caches=caches
+    ) is not None
+    caches.release()
+
+    # after release, mirrors of committed content must STILL dedup away
+    mirrors = [{**p, "url": f"https://rr.example/proj/5{i:03d}"}
+               for i, p in enumerate(pages)]
+    batch = spark.createDataFrame(pd.DataFrame(mirrors))
+    assert streaming._process_epoch(
+        spark, store, batch, 1, True, stream_id="run-rr", caches=caches
+    ) is None, "release()d cache claimed empty known-content"
+    # and the re-seeded entity dictionary is the store's, not None
+    assert caches.known_entities(spark, store).count() > 0
+    caches.release()
