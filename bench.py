@@ -100,6 +100,12 @@ def run_bench(sf_dir: str, cpus: int, n_pages: int, passes: int = 2) -> dict:
         t0 = time.perf_counter()
         n_triples = pipeline.build_triples(spark, pages).count()
         samples["kg_pipeline"].append(round(time.perf_counter() - t0, 3))
+        # drop caches queries left behind: Spark's CacheManager matches by
+        # logical plan, so an identical pass-2 call would silently reuse a
+        # pass-1 persisted frame (e.g. build_triples' facts cache) and the
+        # per-query min would measure cache hits, not query cost — the pass
+        # isolation keeps min-of-passes an honest warm-JVM/cold-data number
+        spark.catalog.clearCache()
 
     spark.stop()
     timings = {name: min(vals) for name, vals in samples.items()}

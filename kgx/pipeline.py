@@ -232,13 +232,30 @@ def extract_stage(
     the two hot intermediates are cached MEMORY_AND_DISK."""
     from pyspark import StorageLevel
 
+    # parallelism guard: a corpus arriving as a few large files (one parquet
+    # per micro-batch is the common streaming shape) inherits the source's
+    # partitioning, and the Arrow kernel then runs on that few tasks — a
+    # 20k-page single-file batch measured 1.8x slower through extract than
+    # the same rows pre-spread (round-6 streaming bench). Spread BEFORE the
+    # one expensive pass; the round-robin shuffle moves each batch's bytes
+    # once and is a no-op whenever the source is already at least as
+    # parallel as the cluster (the 100TB many-file case).
+    par = pages.sparkSession.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < par:
+        pages = pages.repartition(par)
+
     if mode == "fused":
-        # persist: downstream filters (methodology/others/proponent-mentions)
-        # are separate plan branches that would each re-run the Arrow kernel
-        facts = extract.extract_facts_fused(pages).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        return extract.validate_methodologies(facts)
+        # persist the VALIDATED frame (validation is a narrow broadcast-
+        # literal rewrite — no shuffle, so caching above or below it is
+        # equivalent): downstream consumers (mentions, canonicalization,
+        # commit write, content sidecar) are separate plan branches that
+        # would each re-run the Arrow kernel, and returning the persisted
+        # handle itself lets the caller RELEASE it when the epoch ends — a
+        # long-running stream must not accumulate one pinned facts cache
+        # per micro-batch (round-6 review of the streaming bench)
+        return extract.validate_methodologies(
+            extract.extract_facts_fused(pages)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
 
     kdf = textextract.kernel_pass(pages).persist(StorageLevel.MEMORY_AND_DISK)
     ctx = sections.build_contexts(spark, kdf)
@@ -304,6 +321,9 @@ def run_checkpointed(
         facts = extract_stage(spark, subset)
         key = f"{min(chunk):04d}-{max(chunk):04d}"
         store.stage(facts, key, chunk)
+        # the staged parquet is the durable copy and phases B/C read THAT;
+        # the extract cache is one-use here (populated by the stage write)
+        facts.unpersist()
 
     staged_units = store.staged()
     if not staged_units:

@@ -369,6 +369,26 @@ def _process_epoch(
             return None
     t = _mark("dedup", t)
     facts = pipeline.extract_stage(spark, batch_df)
+    try:
+        return _finish_epoch(
+            spark, store, facts, batch_shas, epoch_id, stream_id, caches,
+            timings, _mark, t,
+        )
+    finally:
+        # the epoch's facts cache is one-use: everything committed derives
+        # from it by the time we return (or the epoch failed and will be
+        # replayed) — a long-running stream must not pin one facts cache
+        # per micro-batch in the block manager
+        facts.unpersist()
+
+
+def _finish_epoch(
+    spark, store, facts, batch_shas, epoch_id, stream_id, caches, timings,
+    _mark, t,
+) -> str:
+    """Post-extraction half of one epoch: canonicalize -> validate ->
+    commit -> cache maintenance (split out so _process_epoch can release
+    the epoch's facts cache in one finally)."""
     if timings is not None:
         facts.count()  # materialize the persisted facts inside this phase
     t = _mark("extract", t)
@@ -450,7 +470,15 @@ def _process_epoch(
     flagged, metrics = extract.validate_triples(pipeline._to_triples(final))
     unit = store.commit(
         flagged.drop("valid"), buckets=[], metrics=metrics,
-        content=batch_shas, epoch=epoch_id, stream_id=stream_id,
+        # without ingest dedup there is no precomputed sha frame; derive the
+        # sidecar from the PERSISTED facts (same content_sha set as the
+        # triples — canonicalization and triple validation flag rather than
+        # drop rows) instead of letting commit() default to the triples
+        # frame, whose plan would re-run the canonicalize join + validation
+        # a second time just to list shas
+        content=batch_shas if batch_shas is not None
+        else facts.select("content_sha"),
+        epoch=epoch_id, stream_id=stream_id,
     )
     t = _mark("commit", t)
     if caches is not None and batch_shas is not None:
