@@ -50,6 +50,9 @@ def main() -> None:
     t0 = time.perf_counter()
     n_batch = pipeline.build_triples(spark, pages).count()
     sec_batch = round(time.perf_counter() - t0, 2)
+    # build_triples' facts cache has no caller-reachable handle; drop it so
+    # the streaming measurements below don't run under its memory pressure
+    spark.catalog.clearCache()
 
     work = f"/tmp/kgx_streaming_bench_{n}"
     shutil.rmtree(work, ignore_errors=True)

@@ -129,14 +129,17 @@ def extract_facts_fused(pages: DataFrame) -> DataFrame:
     an input written with giant row groups (or one fat file) arrives as fewer
     partitions than cores and would run this CPU-bound pass nearly serially —
     exactly what a 4000-page single-row-group bench corpus did (4.9s -> 6.8s
-    end-to-end). When the scan yields less than half the session parallelism,
-    one round-robin shuffle of the (url, warc_ts, html) projection buys full
-    parallelism for the dominant stage. At 100 TB inputs have ~10^5 splits and
-    the guard never fires; when it does fire the input layout was the
-    bottleneck, not the shuffle."""
+    end-to-end). When the scan yields fewer partitions than the session
+    parallelism (the threshold was cores//2 until round 6, which left e.g. a
+    5-partition batch running the kernel on 5 of 8 cores — measured 1.4x on
+    a 20k-page single-file micro-batch), one round-robin shuffle of the
+    (url, warc_ts, html) projection buys full parallelism for the dominant
+    stage. At 100 TB inputs have ~10^5 splits and the guard never fires;
+    when it does fire the input layout was the bottleneck, not the
+    shuffle."""
     slim = pages.select("url", "warc_ts", "html")
     cores = pages.sparkSession.sparkContext.defaultParallelism
-    if slim.rdd.getNumPartitions() < max(2, cores // 2):
+    if slim.rdd.getNumPartitions() < cores:
         slim = slim.repartition(cores * 2)
     return slim.mapInArrow(_fused_arrow_batches, schema=FACTS)
 

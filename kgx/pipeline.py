@@ -216,9 +216,19 @@ def canonicalize_proponents(facts: DataFrame, mapping: DataFrame | None = None) 
 
 
 def extract_stage(
-    spark: SparkSession, pages: DataFrame, mode: str = "fused"
+    spark: SparkSession, pages: DataFrame, mode: str = "fused",
+    persist: bool = True,
 ) -> DataFrame:
     """pages -> validated facts (everything before canonicalization).
+
+    ``persist=True`` (default) returns the validated frame persisted
+    MEMORY_AND_DISK — callers that act on it more than once (the streaming
+    epoch, build_triples' mapping + write) would otherwise re-run the Arrow
+    kernel per action; the returned frame IS the persisted handle, so the
+    caller releases it when the epoch/run ends. Pass ``persist=False`` when
+    exactly one action consumes the result (run_checkpointed phase A, which
+    writes it straight to staging parquet) — populating a one-use cache
+    during that single write is pure overhead.
 
     mode='fused' (default, the scale path): one Arrow pass per page for all
     row-local work (extract.extract_facts_fused), then the genuinely
@@ -229,33 +239,27 @@ def extract_stage(
     asserted equal in tests; kept as the cross-validation path and the
     demonstration of each SURVEY.md §2 operator in the pipeline itself. Its
     multi-branch plan re-executes the html->text kernel without persist(), so
-    the two hot intermediates are cached MEMORY_AND_DISK."""
+    the kernel intermediate is ALWAYS cached in this mode (that inner handle
+    has no release path — acceptable on the cross-validation/test path, not
+    offered on the scale path). Under-parallelized sources are spread inside
+    extract_facts_fused / kernel_pass's shared partition guard."""
     from pyspark import StorageLevel
 
-    # parallelism guard: a corpus arriving as a few large files (one parquet
-    # per micro-batch is the common streaming shape) inherits the source's
-    # partitioning, and the Arrow kernel then runs on that few tasks — a
-    # 20k-page single-file batch measured 1.8x slower through extract than
-    # the same rows pre-spread (round-6 streaming bench). Spread BEFORE the
-    # one expensive pass; the round-robin shuffle moves each batch's bytes
-    # once and is a no-op whenever the source is already at least as
-    # parallel as the cluster (the 100TB many-file case).
-    par = pages.sparkSession.sparkContext.defaultParallelism
-    if pages.rdd.getNumPartitions() < par:
-        pages = pages.repartition(par)
-
     if mode == "fused":
-        # persist the VALIDATED frame (validation is a narrow broadcast-
-        # literal rewrite — no shuffle, so caching above or below it is
-        # equivalent): downstream consumers (mentions, canonicalization,
-        # commit write, content sidecar) are separate plan branches that
-        # would each re-run the Arrow kernel, and returning the persisted
-        # handle itself lets the caller RELEASE it when the epoch ends — a
-        # long-running stream must not accumulate one pinned facts cache
-        # per micro-batch (round-6 review of the streaming bench)
-        return extract.validate_methodologies(
+        # the VALIDATED frame is the cache point (validation is a narrow
+        # broadcast-literal rewrite — no shuffle, so caching above or below
+        # it is equivalent): downstream consumers (mentions,
+        # canonicalization, commit write, content sidecar) are separate
+        # plan branches that would each re-run the Arrow kernel, and
+        # returning the persisted handle itself lets the caller RELEASE it
+        # when the epoch ends — a long-running stream must not accumulate
+        # one pinned facts cache per micro-batch (round-6 review)
+        validated = extract.validate_methodologies(
             extract.extract_facts_fused(pages)
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if persist:
+            validated = validated.persist(StorageLevel.MEMORY_AND_DISK)
+        return validated
 
     kdf = textextract.kernel_pass(pages).persist(StorageLevel.MEMORY_AND_DISK)
     ctx = sections.build_contexts(spark, kdf)
@@ -318,12 +322,12 @@ def run_checkpointed(
     for g in range(0, len(to_stage), per):
         chunk = to_stage[g : g + per]
         subset = pending.filter(F.col("_bucket").isin(chunk)).drop("_bucket")
-        facts = extract_stage(spark, subset)
+        # persist=False: the stage write is the ONLY action on this frame
+        # (phases B/C read the staged parquet), so populating a cache during
+        # it would be pure overhead
+        facts = extract_stage(spark, subset, persist=False)
         key = f"{min(chunk):04d}-{max(chunk):04d}"
         store.stage(facts, key, chunk)
-        # the staged parquet is the durable copy and phases B/C read THAT;
-        # the extract cache is one-use here (populated by the stage write)
-        facts.unpersist()
 
     staged_units = store.staged()
     if not staged_units:

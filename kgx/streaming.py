@@ -367,12 +367,25 @@ def _process_epoch(
         batch_df = keyed.drop("content_sha")
         if not batch_df.take(1):
             return None
+    else:
+        # commit()'s contract holds in BOTH modes: every processed content
+        # hash registers, INCLUDING pages yielding zero facts — otherwise a
+        # later dedup_content=True run over an overlapping corpus re-extracts
+        # those pages on every wave forever. One column-pruned sha2 scan of
+        # the batch; cheaper than the old default (commit re-executed the
+        # canonicalize+validate plan just to list the triples' shas) and,
+        # unlike it, complete.
+        batch_shas = batch_df.select(
+            F.sha2(F.coalesce(F.col("html"), F.lit(b"")), 256).alias(
+                "content_sha"
+            )
+        )
     t = _mark("dedup", t)
     facts = pipeline.extract_stage(spark, batch_df)
     try:
         return _finish_epoch(
             spark, store, facts, batch_shas, epoch_id, stream_id, caches,
-            timings, _mark, t,
+            timings, _mark, t, extend_cache=dedup_content,
         )
     finally:
         # the epoch's facts cache is one-use: everything committed derives
@@ -384,7 +397,7 @@ def _process_epoch(
 
 def _finish_epoch(
     spark, store, facts, batch_shas, epoch_id, stream_id, caches, timings,
-    _mark, t,
+    _mark, t, extend_cache: bool = True,
 ) -> str:
     """Post-extraction half of one epoch: canonicalize -> validate ->
     commit -> cache maintenance (split out so _process_epoch can release
@@ -470,18 +483,13 @@ def _finish_epoch(
     flagged, metrics = extract.validate_triples(pipeline._to_triples(final))
     unit = store.commit(
         flagged.drop("valid"), buckets=[], metrics=metrics,
-        # without ingest dedup there is no precomputed sha frame; derive the
-        # sidecar from the PERSISTED facts (same content_sha set as the
-        # triples — canonicalization and triple validation flag rather than
-        # drop rows) instead of letting commit() default to the triples
-        # frame, whose plan would re-run the canonicalize join + validation
-        # a second time just to list shas
-        content=batch_shas if batch_shas is not None
-        else facts.select("content_sha"),
-        epoch=epoch_id, stream_id=stream_id,
+        content=batch_shas, epoch=epoch_id, stream_id=stream_id,
     )
     t = _mark("commit", t)
-    if caches is not None and batch_shas is not None:
+    if caches is not None and extend_cache:
+        # only a dedup_content run probes the content cache; a non-dedup run
+        # still WRITES complete sidecars (above) but extending an unread
+        # cache would be a wasted sidecar read per epoch
         caches.extend_content(spark, store, unit)
     _mark("cache_extend", t)
     return unit

@@ -60,10 +60,16 @@ def kernel_pass(pages: DataFrame) -> DataFrame:
 
     ``content_sha`` (sha256 of raw html) is the lineage column mirroring the
     reference's Redis content-hash cache key (initial_pipeline/app.py:309-317).
+
+    Same partition guard as extract.extract_facts_fused: an under-split
+    source (one fat file / giant row groups) would run this CPU-bound pass
+    on fewer tasks than cores; a no-op for well-split web-scale inputs.
     """
-    return pages.select("url", "warc_ts", "html").mapInPandas(
-        _kernel_batches, schema=SECTIONS_RAW
-    )
+    slim = pages.select("url", "warc_ts", "html")
+    cores = pages.sparkSession.sparkContext.defaultParallelism
+    if slim.rdd.getNumPartitions() < cores:
+        slim = slim.repartition(cores * 2)
+    return slim.mapInPandas(_kernel_batches, schema=SECTIONS_RAW)
 
 
 def page_text(kernel_df: DataFrame) -> DataFrame:

@@ -927,3 +927,41 @@ def test_caches_release_then_reuse_reseeds_from_store(spark, tmp_path):
     # and the re-seeded entity dictionary is the store's, not None
     assert caches.known_entities(spark, store).count() > 0
     caches.release()
+
+
+def test_non_dedup_epoch_registers_all_content(spark, tmp_path):
+    """commit()'s content contract holds with dedup OFF too: EVERY processed
+    page's sha registers in the unit sidecar — including pages yielding zero
+    facts — so a later dedup_content=True run over an overlapping corpus
+    skips them instead of re-extracting on every wave (review r6: the old
+    triples-derived default silently dropped zero-fact pages)."""
+    import hashlib
+
+    import pandas as pd
+
+    pages = fixtures.gen_pages(3)
+    store = TripleStore(str(tmp_path / "store_reg"), n_buckets=4)
+    store.claim_mode("streaming")
+    caches = streaming._EpochCaches()
+    batch = spark.createDataFrame(pd.DataFrame(pages))
+    assert streaming._process_epoch(
+        spark, store, batch, 0, False, stream_id="run-reg", caches=caches
+    ) is not None
+    caches.release()
+    known = {r.content_sha for r in store.known_content(spark).collect()}
+    for p in pages:
+        assert hashlib.sha256(p["html"]).hexdigest() in known, (
+            "non-dedup epoch failed to register a processed page's content"
+        )
+
+    # and a dedup run over the SAME corpus (fresh store handle, new stream)
+    # fully skips it via those sidecars
+    store2 = TripleStore(str(tmp_path / "store_reg"), n_buckets=4)
+    caches2 = streaming._EpochCaches()
+    mirrors = [{**p, "url": f"https://reg.example/proj/7{i:02d}"}
+               for i, p in enumerate(pages)]
+    batch2 = spark.createDataFrame(pd.DataFrame(mirrors))
+    assert streaming._process_epoch(
+        spark, store2, batch2, 1, True, stream_id="run-reg", caches=caches2
+    ) is None, "mirrors of registered content must dedup through the sidecars"
+    caches2.release()
