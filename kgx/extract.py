@@ -137,10 +137,9 @@ def extract_facts_fused(pages: DataFrame) -> DataFrame:
     stage. At 100 TB inputs have ~10^5 splits and the guard never fires;
     when it does fire the input layout was the bottleneck, not the
     shuffle."""
-    slim = pages.select("url", "warc_ts", "html")
-    cores = pages.sparkSession.sparkContext.defaultParallelism
-    if slim.rdd.getNumPartitions() < cores:
-        slim = slim.repartition(cores * 2)
+    from kgx.util import spread
+
+    slim = spread(pages.select("url", "warc_ts", "html"))
     return slim.mapInArrow(_fused_arrow_batches, schema=FACTS)
 
 

@@ -265,7 +265,9 @@ def extract_stage(
     ctx = sections.build_contexts(spark, kdf)
     facts = extract.extract_facts(ctx)
     validated = extract.validate_methodologies(facts)
-    return validated.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist:
+        validated = validated.persist(StorageLevel.MEMORY_AND_DISK)
+    return validated
 
 
 def _to_triples(final: DataFrame) -> DataFrame:

@@ -375,7 +375,12 @@ def _process_epoch(
         # the batch; cheaper than the old default (commit re-executed the
         # canonicalize+validate plan just to list the triples' shas) and,
         # unlike it, complete.
-        batch_shas = batch_df.select(
+        from kgx.util import spread
+
+        # spread first: the sha2 runs in the scan stage at source
+        # parallelism, and a one-file micro-batch would hash every html
+        # byte near-serially per epoch (same guard the kernels use)
+        batch_shas = spread(batch_df.select("html")).select(
             F.sha2(F.coalesce(F.col("html"), F.lit(b"")), 256).alias(
                 "content_sha"
             )

@@ -61,14 +61,14 @@ def kernel_pass(pages: DataFrame) -> DataFrame:
     ``content_sha`` (sha256 of raw html) is the lineage column mirroring the
     reference's Redis content-hash cache key (initial_pipeline/app.py:309-317).
 
-    Same partition guard as extract.extract_facts_fused: an under-split
-    source (one fat file / giant row groups) would run this CPU-bound pass
-    on fewer tasks than cores; a no-op for well-split web-scale inputs.
+    Same partition guard as extract.extract_facts_fused (kgx.util.spread):
+    an under-split source (one fat file / giant row groups) would run this
+    CPU-bound pass on fewer tasks than cores; a no-op for well-split
+    web-scale inputs.
     """
-    slim = pages.select("url", "warc_ts", "html")
-    cores = pages.sparkSession.sparkContext.defaultParallelism
-    if slim.rdd.getNumPartitions() < cores:
-        slim = slim.repartition(cores * 2)
+    from kgx.util import spread
+
+    slim = spread(pages.select("url", "warc_ts", "html"))
     return slim.mapInPandas(_kernel_batches, schema=SECTIONS_RAW)
 
 
