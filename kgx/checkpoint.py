@@ -214,13 +214,16 @@ class TripleStore:
         final_dir = os.path.join(self.data_dir, f"unit={unit_id}")
         tmp_dir = os.path.join(self.root, f"_tmp-{unit_id}")
         # partition the files by pred, salt the write by subj-hash so one hot
-        # predicate doesn't serialize into a single task (SURVEY.md §4 skew row)
+        # predicate doesn't serialize into a single task (SURVEY.md §4 skew
+        # row). No explicit partition count: AQE sizes the write by bytes
+        # (coalescePartitions, parallelismFirst=false in kgx.session), so a
+        # small streaming epoch lands as a few right-sized files instead of
+        # cores x preds splinters (round 6: a 2.5k-page unit wrote 48 files
+        # in 2.4s fixed-width vs 6 files in 0.8s coalesced — a long-running
+        # stream is otherwise a small-file swamp until compact()), while a
+        # big batch unit keeps full write parallelism.
         (
-            triples.repartition(
-                max(triples.sparkSession.sparkContext.defaultParallelism, 4),
-                "pred",
-                F.pmod(F.xxhash64("subj"), F.lit(64)),
-            )
+            triples.repartition("pred", F.pmod(F.xxhash64("subj"), F.lit(64)))
             .write.mode("overwrite")
             .partitionBy("pred")
             .parquet(tmp_dir)
@@ -436,11 +439,8 @@ class TripleStore:
         tmp_dir = os.path.join(self.root, f"_tmp-{unit_id}")
         df = self._read_units(spark, [m["unit"] for m in victims])
         (
-            df.repartition(
-                max(df.sparkSession.sparkContext.defaultParallelism, 4),
-                "pred",
-                F.pmod(F.xxhash64("subj"), F.lit(64)),
-            )
+            # same salted, AQE-sized write shape as commit()
+            df.repartition("pred", F.pmod(F.xxhash64("subj"), F.lit(64)))
             .write.mode("overwrite")
             .partitionBy("pred")
             .parquet(tmp_dir)
