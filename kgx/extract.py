@@ -174,15 +174,10 @@ def validate_methodologies(facts: DataFrame, dim: DataFrame | None = None) -> Da
     )
 
 
-def validate_triples(triples: DataFrame) -> tuple[DataFrame, dict[str, int]]:
-    """Structured-output constraint checks (SURVEY.md §1.2 'schema system').
-
-    Parses each obj with its per-pred StructType via from_json and counts:
-    - parse failures (obj not conforming to the declared schema),
-    - required-field nulls (the JSON-Schema `required` mirror).
-    Returns (triples_with_valid_flag, violation_counters). On healthy input the
-    counters are zero; they are emitted with every snapshot commit.
-    """
+def _validity_column():
+    """The per-pred structured-output validity expression shared by both
+    validate_triples variants: from_json parse success + required-field
+    presence (or the sector two-label domain check)."""
     checks = []
     for pred, schema in OBJ_SCHEMAS.items():
         if pred == "sector":
@@ -211,11 +206,24 @@ def validate_triples(triples: DataFrame) -> tuple[DataFrame, dict[str, int]]:
     valid_col = F.lit(False)
     for pred, ok in checks:
         valid_col = F.when(F.col("pred") == pred, ok).otherwise(valid_col)
-    # localCheckpoint: the metrics aggregation below and the caller's commit
-    # write are two actions — without pinning, the whole upstream chain
-    # (canonicalize rewrite + this from_json validation) executed twice per
-    # commit unit
-    flagged = triples.withColumn("valid", valid_col).localCheckpoint()
+    return valid_col
+
+
+def validate_triples(triples: DataFrame) -> tuple[DataFrame, dict[str, int]]:
+    """Structured-output constraint checks (SURVEY.md §1.2 'schema system').
+
+    Parses each obj with its per-pred StructType via from_json and counts:
+    - parse failures (obj not conforming to the declared schema),
+    - required-field nulls (the JSON-Schema `required` mirror).
+    Returns (triples_with_valid_flag, violation_counters). On healthy input the
+    counters are zero; they are emitted with every snapshot commit.
+
+    EAGER variant: metrics are computed here, costing one materialization
+    (localCheckpoint — the metrics aggregation and the caller's later write
+    are two actions, and without pinning the whole upstream chain would
+    execute twice). The commit paths use validate_triples_observed instead,
+    which piggybacks the counters on the caller's single write action."""
+    flagged = triples.withColumn("valid", _validity_column()).localCheckpoint()
     counts = (
         flagged.groupBy("pred")
         .agg(
@@ -225,4 +233,43 @@ def validate_triples(triples: DataFrame) -> tuple[DataFrame, dict[str, int]]:
         .collect()
     )
     metrics = {r["pred"]: {"rows": r["n"], "violations": r["violations"]} for r in counts}
+    return flagged, metrics
+
+
+def validate_triples_observed(triples: DataFrame):
+    """One-execution variant of validate_triples for the commit paths: the
+    violation counters ride the caller's OWN action (the commit's data
+    write) via the Observation API instead of a dedicated metrics job over
+    a localCheckpoint — one plan execution per commit unit, no
+    materialized in-epoch state, same counters.
+
+    Returns (flagged, metrics_fn). Call ``metrics_fn()`` only AFTER an
+    action has run over ``flagged`` (TripleStore.commit accepts the
+    callable and resolves it after the data write, before the manifest);
+    the zero-row preds are omitted to match the eager variant's groupBy
+    shape."""
+    from pyspark.sql import Observation
+
+    flagged = triples.withColumn("valid", _validity_column())
+    obs = Observation()
+    exprs = []
+    for pred in OBJ_SCHEMAS:
+        is_p = F.col("pred") == pred
+        exprs.append(F.count(F.when(is_p, F.lit(1))).alias(f"n_{pred}"))
+        exprs.append(
+            F.sum(F.when(is_p & ~F.col("valid"), 1).otherwise(0)).alias(f"v_{pred}")
+        )
+    flagged = flagged.observe(obs, *exprs)
+
+    def metrics() -> dict:
+        got = obs.get
+        return {
+            pred: {
+                "rows": got[f"n_{pred}"],
+                "violations": int(got[f"v_{pred}"] or 0),
+            }
+            for pred in OBJ_SCHEMAS
+            if got[f"n_{pred}"]
+        }
+
     return flagged, metrics

@@ -359,8 +359,15 @@ def run_checkpointed(
             store.consume_staged(s["key"])
             continue
         final = canonicalize_proponents(facts, mapping)
-        flagged, metrics = extract.validate_triples(_to_triples(final))
-        unit_ids.append(store.commit(flagged.drop("valid"), s["buckets"], metrics))
+        # observed metrics ride the commit write (one plan execution); the
+        # content sidecar comes from the staged facts parquet — a pruned
+        # scan — so commit's triples-derived default doesn't re-run the
+        # canonicalize+validate chain a second time
+        flagged, metrics = extract.validate_triples_observed(_to_triples(final))
+        unit_ids.append(store.commit(
+            flagged.drop("valid"), s["buckets"], metrics,
+            content=facts.select("content_sha"),
+        ))
         store.consume_staged(s["key"])
     return unit_ids
 

@@ -215,6 +215,36 @@ def test_constraint_checks_zero_violations(spark, pages_df):
     assert flagged.filter(~F.col("valid")).count() == 0
 
 
+def test_observed_metrics_match_eager(spark, pages_df):
+    """validate_triples_observed must produce the SAME counters as the eager
+    variant while riding the caller's own action (the commit paths use it so
+    the violation metrics cost zero extra plan executions). Observation.get
+    would block forever without an action, so the getter-after-action
+    ordering is enforced structurally by commit() resolving the callable
+    only after its data write — pinned by the resume/streaming suites."""
+    tri = pipeline.build_triples(spark, pages_df)
+    _, eager = extract.validate_triples(tri)
+    flagged, observed = extract.validate_triples_observed(tri)
+    n = flagged.count()  # the caller's single action
+    got = observed()
+    assert got == eager
+    assert n == sum(m["rows"] for m in got.values())
+
+    # corrupt one methodology payload: both variants count the violation
+    bad = tri.withColumn(
+        "obj",
+        F.when(F.col("pred") == "methodology", F.lit("not-json")).otherwise(
+            F.col("obj")
+        ),
+    )
+    _, eager_bad = extract.validate_triples(bad)
+    fb, observed_bad = extract.validate_triples_observed(bad)
+    fb.count()
+    got_bad = observed_bad()
+    assert got_bad == eager_bad
+    assert got_bad["methodology"]["violations"] == got_bad["methodology"]["rows"] > 0
+
+
 def test_subj_col_matches_kernel(spark):
     urls = ["https://a.example.com/proj/000123", "https://b.example.org/x/proj9"]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
