@@ -184,7 +184,7 @@ class TripleStore:
         self,
         triples: DataFrame,
         buckets: list[int],
-        metrics,
+        metrics: dict,
         content: DataFrame | None = None,
         epoch: int | None = None,
         stream_id: str | None = None,
@@ -232,11 +232,6 @@ class TripleStore:
         self._write_content_sidecar(
             unit_id, content if content is not None else triples
         )
-        if callable(metrics):
-            # observed metrics (extract.validate_triples_observed): the data
-            # write above was the action that computed them — resolve now,
-            # before the manifest records them
-            metrics = metrics()
         manifest = {
             "unit": unit_id,
             "content_sidecar": True,

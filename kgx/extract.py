@@ -218,11 +218,17 @@ def validate_triples(triples: DataFrame) -> tuple[DataFrame, dict[str, int]]:
     Returns (triples_with_valid_flag, violation_counters). On healthy input the
     counters are zero; they are emitted with every snapshot commit.
 
-    EAGER variant: metrics are computed here, costing one materialization
-    (localCheckpoint — the metrics aggregation and the caller's later write
-    are two actions, and without pinning the whole upstream chain would
-    execute twice). The commit paths use validate_triples_observed instead,
-    which piggybacks the counters on the caller's single write action."""
+    The metrics aggregation and the caller's later commit write are two
+    actions, so the flagged frame is localCheckpointed — without pinning,
+    the whole upstream chain would execute twice. A one-execution variant
+    that rode the counters on the commit write via the Observation API was
+    tried and REVERTED (round 6): Observation.get raises a JVM assertion on
+    an empty unit's write (AQE empty-relation propagation leaves no metrics
+    row — zero-fact units are supported input), and a CollectMetrics node
+    below the commit's repartition exchange is only at-least-once under
+    map-stage retries on a real cluster, silently inflating manifest
+    counters that compact() then merges forever. The eager groupBy runs in
+    a result stage: exact by construction."""
     flagged = triples.withColumn("valid", _validity_column()).localCheckpoint()
     counts = (
         flagged.groupBy("pred")
@@ -233,43 +239,4 @@ def validate_triples(triples: DataFrame) -> tuple[DataFrame, dict[str, int]]:
         .collect()
     )
     metrics = {r["pred"]: {"rows": r["n"], "violations": r["violations"]} for r in counts}
-    return flagged, metrics
-
-
-def validate_triples_observed(triples: DataFrame):
-    """One-execution variant of validate_triples for the commit paths: the
-    violation counters ride the caller's OWN action (the commit's data
-    write) via the Observation API instead of a dedicated metrics job over
-    a localCheckpoint — one plan execution per commit unit, no
-    materialized in-epoch state, same counters.
-
-    Returns (flagged, metrics_fn). Call ``metrics_fn()`` only AFTER an
-    action has run over ``flagged`` (TripleStore.commit accepts the
-    callable and resolves it after the data write, before the manifest);
-    the zero-row preds are omitted to match the eager variant's groupBy
-    shape."""
-    from pyspark.sql import Observation
-
-    flagged = triples.withColumn("valid", _validity_column())
-    obs = Observation()
-    exprs = []
-    for pred in OBJ_SCHEMAS:
-        is_p = F.col("pred") == pred
-        exprs.append(F.count(F.when(is_p, F.lit(1))).alias(f"n_{pred}"))
-        exprs.append(
-            F.sum(F.when(is_p & ~F.col("valid"), 1).otherwise(0)).alias(f"v_{pred}")
-        )
-    flagged = flagged.observe(obs, *exprs)
-
-    def metrics() -> dict:
-        got = obs.get
-        return {
-            pred: {
-                "rows": got[f"n_{pred}"],
-                "violations": int(got[f"v_{pred}"] or 0),
-            }
-            for pred in OBJ_SCHEMAS
-            if got[f"n_{pred}"]
-        }
-
     return flagged, metrics

@@ -359,11 +359,10 @@ def run_checkpointed(
             store.consume_staged(s["key"])
             continue
         final = canonicalize_proponents(facts, mapping)
-        # observed metrics ride the commit write (one plan execution); the
-        # content sidecar comes from the staged facts parquet — a pruned
-        # scan — so commit's triples-derived default doesn't re-run the
-        # canonicalize+validate chain a second time
-        flagged, metrics = extract.validate_triples_observed(_to_triples(final))
+        flagged, metrics = extract.validate_triples(_to_triples(final))
+        # the content sidecar comes from the staged facts parquet — a pruned
+        # scan — rather than commit's triples-derived default (a second read
+        # of the flagged checkpoint)
         unit_ids.append(store.commit(
             flagged.drop("valid"), s["buckets"], metrics,
             content=facts.select("content_sha"),

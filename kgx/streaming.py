@@ -485,12 +485,7 @@ def _finish_epoch(
             caches.set_entities(mapping)
     t = _mark("canon", t)
     final = pipeline.canonicalize_proponents(facts, mapping)
-    # observed variant: the violation counters ride the commit's own write
-    # action — no per-epoch localCheckpoint of the triples, no separate
-    # metrics job
-    flagged, metrics = extract.validate_triples_observed(
-        pipeline._to_triples(final)
-    )
+    flagged, metrics = extract.validate_triples(pipeline._to_triples(final))
     unit = store.commit(
         flagged.drop("valid"), buckets=[], metrics=metrics,
         content=batch_shas, epoch=epoch_id, stream_id=stream_id,

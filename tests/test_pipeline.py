@@ -215,34 +215,27 @@ def test_constraint_checks_zero_violations(spark, pages_df):
     assert flagged.filter(~F.col("valid")).count() == 0
 
 
-def test_observed_metrics_match_eager(spark, pages_df):
-    """validate_triples_observed must produce the SAME counters as the eager
-    variant while riding the caller's own action (the commit paths use it so
-    the violation metrics cost zero extra plan executions). Observation.get
-    would block forever without an action, so the getter-after-action
-    ordering is enforced structurally by commit() resolving the callable
-    only after its data write — pinned by the resume/streaming suites."""
-    tri = pipeline.build_triples(spark, pages_df)
-    _, eager = extract.validate_triples(tri)
-    flagged, observed = extract.validate_triples_observed(tri)
-    n = flagged.count()  # the caller's single action
-    got = observed()
-    assert got == eager
-    assert n == sum(m["rows"] for m in got.values())
+def test_commit_accepts_zero_triple_unit(spark, tmp_path):
+    """A unit with ZERO triples must commit cleanly with empty metrics — a
+    non-duplicate batch whose pages yield no extractable facts is supported
+    input (its content hashes still register). Pinned because a round-6
+    attempt to ride the violation counters on the commit write via the
+    Observation API crashed exactly here (AQE empty-relation propagation
+    leaves no observed-metrics row) and was reverted."""
+    from kgx.checkpoint import TripleStore
+    from kgx.schema import TRIPLES
 
-    # corrupt one methodology payload: both variants count the violation
-    bad = tri.withColumn(
-        "obj",
-        F.when(F.col("pred") == "methodology", F.lit("not-json")).otherwise(
-            F.col("obj")
-        ),
-    )
-    _, eager_bad = extract.validate_triples(bad)
-    fb, observed_bad = extract.validate_triples_observed(bad)
-    fb.count()
-    got_bad = observed_bad()
-    assert got_bad == eager_bad
-    assert got_bad["methodology"]["violations"] == got_bad["methodology"]["rows"] > 0
+    empty = spark.createDataFrame([], TRIPLES)
+    flagged, metrics = extract.validate_triples(empty)
+    assert metrics == {}
+    store = TripleStore(str(tmp_path / "zt"), n_buckets=2)
+    sha = spark.createDataFrame([("a" * 64,)], "content_sha string")
+    unit = store.commit(flagged.drop("valid"), buckets=[0], metrics=metrics,
+                        content=sha)
+    assert unit in {m["unit"] for m in store.manifests()}
+    assert store.read(spark).count() == 0
+    assert {r.content_sha for r in store.known_content(spark).collect()} \
+        == {"a" * 64}
 
 
 def test_subj_col_matches_kernel(spark):
