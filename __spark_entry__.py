@@ -38,10 +38,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _all_queries() -> dict[str, tuple]:
-    from kgx.ops import multimodal, relational, simsearch, textops
+    from kgx.ops import graph, multimodal, relational, simsearch, textops
 
     merged: dict[str, tuple] = {}
-    for mod in (relational, textops, simsearch, multimodal):
+    for mod in (relational, textops, simsearch, multimodal, graph):
         merged.update(mod.QUERIES)
     return merged
 

@@ -1,0 +1,433 @@
+"""KG-query operators over triples the engine constructs from relational input.
+
+The reference pipeline STOPS at triple materialization (initial_pipeline's
+JSON triple dump); a knowledge graph someone built is immediately queried —
+pattern matching, traversal, centrality, serialization. This module adds that
+query surface as first-class oracled operators, exercised on a triple table
+derived deterministically from the TPC-H-ish driver tables (so the DuckDB
+oracle can mirror every step):
+
+    (c:<custkey>)   -[placed]->      (o:<orderkey>)      from orders
+    (o:<orderkey>)  -[contains]->    (p:<partkey>)       from lineitem, distinct
+    (o:<orderkey>)  -[supplied_by]-> (s:<suppkey>)       from lineitem, distinct
+    (c:<custkey>)   -[located_in]->  (n:<nationkey>)     from customer
+    (s:<suppkey>)   -[located_in]->  (n:<nationkey>)     from supplier
+
+Scale posture, per operator:
+- triple build: projections + one hash-agg distinct per lineitem-derived
+  predicate (map-side partial agg; subj/pred/obj are short strings, never
+  payload columns).
+- traversal (g02): frontier expansion is a per-hop equi-join on the edge key;
+  AQE converts the join to broadcast when the frontier is small (the common
+  case for seeded traversal) and falls back to shuffle when it is not —
+  no collect, no driver-side frontier.
+- degree (g03): two partial-agg counts + one outer join, all keyed by node.
+- triangles (g04): DEGREE-ORDERED edge orientation (Chiba-Nishizeki /
+  "rank by (degree, id)") before the wedge join — on a skewed web graph this
+  caps every node's oriented out-degree near sqrt(|E|), so the wedge join
+  cannot explode on hubs the way a naive (a<b) orientation does. The wedge
+  join and the closing-edge semi-join are both equi-joins on node ids.
+- PageRank (g05): the edge frame with precomputed out-weights is built once
+  and persisted; each of the K unrolled iterations is one join + one
+  partial-agg sum keyed by dst. Rank frames are O(nodes) — at web scale they
+  stay partitioned by node and AQE broadcasts the (tiny) rank side into the
+  edge join. Dangling mass is dropped (identically in the oracle).
+- N-Triples export (g06): pure string concat/escape in the projection —
+  whole-stage codegen, no shuffle beyond the shared triple build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgx.ops import load
+
+# ---------------------------------------------------------------------------
+# shared triple construction (Spark + the mirroring SQL CTE)
+# ---------------------------------------------------------------------------
+
+
+def _node(prefix: str, col) -> F.Column:
+    return F.concat(F.lit(prefix + ":"), F.col(col).cast("string"))
+
+
+def kg_triples(spark: SparkSession, sf: str) -> DataFrame:
+    """The unified (subj, pred, obj) string triple table described above."""
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    cust = load(spark, sf, "customer")
+    supp = load(spark, sf, "supplier")
+    placed = orders.select(
+        _node("c", "o_custkey").alias("subj"),
+        F.lit("placed").alias("pred"),
+        _node("o", "o_orderkey").alias("obj"),
+    )
+    contains = li.select(
+        _node("o", "l_orderkey").alias("subj"),
+        F.lit("contains").alias("pred"),
+        _node("p", "l_partkey").alias("obj"),
+    ).distinct()
+    supplied = li.select(
+        _node("o", "l_orderkey").alias("subj"),
+        F.lit("supplied_by").alias("pred"),
+        _node("s", "l_suppkey").alias("obj"),
+    ).distinct()
+    c_loc = cust.select(
+        _node("c", "c_custkey").alias("subj"),
+        F.lit("located_in").alias("pred"),
+        _node("n", "c_nationkey").alias("obj"),
+    )
+    s_loc = supp.select(
+        _node("s", "s_suppkey").alias("subj"),
+        F.lit("located_in").alias("pred"),
+        _node("n", "s_nationkey").alias("obj"),
+    )
+    return (
+        placed.unionByName(contains)
+        .unionByName(supplied)
+        .unionByName(c_loc)
+        .unionByName(s_loc)
+    )
+
+
+_TRIPLES_CTE = """
+triples AS (
+  SELECT 'c:' || o_custkey AS subj, 'placed' AS pred, 'o:' || o_orderkey AS obj
+  FROM orders
+  UNION ALL
+  SELECT DISTINCT 'o:' || l_orderkey, 'contains', 'p:' || l_partkey FROM lineitem
+  UNION ALL
+  SELECT DISTINCT 'o:' || l_orderkey, 'supplied_by', 's:' || l_suppkey FROM lineitem
+  UNION ALL
+  SELECT 'c:' || c_custkey, 'located_in', 'n:' || c_nationkey FROM customer
+  UNION ALL
+  SELECT 's:' || s_suppkey, 'located_in', 'n:' || s_nationkey FROM supplier
+)
+"""
+
+
+# --- g01: construct the KG triple table ------------------------------------ #
+def g01_kg_triples(spark: SparkSession, sf: str) -> DataFrame:
+    return kg_triples(spark, sf)
+
+
+G01_SQL = f"WITH {_TRIPLES_CTE} SELECT subj, pred, obj FROM triples"
+
+
+# --- g02: seeded 2-hop traversal (SPARQL-BGP-style chain) ------------------- #
+N_SEED_SUPPLIERS = 5
+
+
+def g02_two_hop_neighbors(spark: SparkSession, sf: str) -> DataFrame:
+    """Customers within two hops of the seed suppliers:
+    supplier <-[supplied_by]- order <-[placed]- customer.
+
+    Both hops are equi-joins on the shared order node; the seed filter is a
+    literal isin Catalyst pushes into the scan side of the union.
+    """
+    t = kg_triples(spark, sf)
+    seeds = [f"s:{i}" for i in range(1, N_SEED_SUPPLIERS + 1)]
+    hop1 = (
+        t.filter((F.col("pred") == "supplied_by") & F.col("obj").isin(seeds))
+        .select(F.col("obj").alias("supplier"), F.col("subj").alias("order_node"))
+    )
+    hop2 = t.filter(F.col("pred") == "placed").select(
+        F.col("obj").alias("order_node"), F.col("subj").alias("customer")
+    )
+    return hop1.join(hop2, "order_node").select("supplier", "customer").distinct()
+
+
+G02_SQL = f"""
+WITH {_TRIPLES_CTE}
+SELECT DISTINCT h1.obj AS supplier, h2.subj AS customer
+FROM triples h1
+JOIN triples h2 ON h2.pred = 'placed' AND h2.obj = h1.subj
+WHERE h1.pred = 'supplied_by'
+  AND h1.obj IN ({", ".join(f"'s:{i}'" for i in range(1, N_SEED_SUPPLIERS + 1))})
+"""
+
+
+# --- g03: node degree ------------------------------------------------------- #
+def g03_node_degree(spark: SparkSession, sf: str) -> DataFrame:
+    t = kg_triples(spark, sf)
+    out_deg = t.groupBy(F.col("subj").alias("node")).agg(
+        F.count("*").alias("out_deg")
+    )
+    in_deg = t.groupBy(F.col("obj").alias("node")).agg(F.count("*").alias("in_deg"))
+    return (
+        out_deg.join(in_deg, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+        .withColumn("deg", F.col("out_deg") + F.col("in_deg"))
+    )
+
+
+G03_SQL = f"""
+WITH {_TRIPLES_CTE},
+o AS (SELECT subj AS node, COUNT(*) AS out_deg FROM triples GROUP BY subj),
+i AS (SELECT obj AS node, COUNT(*) AS in_deg FROM triples GROUP BY obj)
+SELECT COALESCE(o.node, i.node) AS node,
+       COALESCE(out_deg, 0) AS out_deg,
+       COALESCE(in_deg, 0) AS in_deg,
+       COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS deg
+FROM o FULL OUTER JOIN i ON o.node = i.node
+"""
+
+
+# --- g04: per-node triangle counts (degree-ordered orientation) ------------- #
+def count_triangles(edges: DataFrame) -> DataFrame:
+    """(a, b) undirected simple edges -> (node, tri_cnt) for nodes in >=1
+    triangle. Orientation ranks nodes by (degree, id) and points every edge
+    at the higher rank, so a hub of degree d contributes wedges only through
+    its few higher-ranked neighbors — the standard bound that keeps the wedge
+    join sub-quadratic on power-law graphs. Each triangle is emitted exactly
+    once as (u, v, w) with rank(u) < rank(v) < rank(w).
+    """
+    # pin the slim edge list before fan-out: `und` feeds both the degree agg
+    # and the orientation join, and `ranked` feeds the wedge join twice plus
+    # the closing semi-join twice — without the checkpoints the whole
+    # upstream edge-derivation pipeline re-executes once per branch (~14
+    # plan copies observed at sf0.01). Same idiom as canon's CC edge pin:
+    # (a, b) id pairs only, never payload.
+    edges = edges.select("a", "b").localCheckpoint()
+    und = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("deg"))
+    ranked = (
+        und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+        .filter(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        )
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    wedges = ranked.alias("e1").join(
+        ranked.alias("e2"),
+        (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.b") < F.col("e2.b")),
+    ).select(
+        F.col("e1.a").alias("u"), F.col("e1.b").alias("v"), F.col("e2.b").alias("w")
+    )
+    # NB: e1.b < e2.b is a plain string tie-break to emit each wedge once; the
+    # closing edge (v, w) may be oriented either way under the rank order, so
+    # the semi-join checks both directions via the symmetric closure
+    closing = ranked.select(
+        F.col("a").alias("v"), F.col("b").alias("w")
+    ).union(ranked.select(F.col("b").alias("v"), F.col("a").alias("w")))
+    tris = wedges.join(closing, ["v", "w"], "left_semi")
+    members = (
+        tris.select(F.col("u").alias("node"))
+        .union(tris.select(F.col("v").alias("node")))
+        .union(tris.select(F.col("w").alias("node")))
+    )
+    return members.groupBy("node").agg(F.count("*").alias("tri_cnt"))
+
+
+def g04_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangles in the co-supply graph: suppliers are adjacent when they
+    supply the same order. Pair generation is per-order and bounded by the
+    max lineitems per order (TPC-H: 7), so it cannot blow up on wide rows."""
+    li = load(spark, sf, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), _node("s", "l_suppkey").alias("s")
+    ).distinct()
+    edges = (
+        os_.alias("x")
+        .join(os_.alias("y"), "o")
+        .filter(F.col("x.s") < F.col("y.s"))
+        .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .distinct()
+    )
+    return count_triangles(edges)
+
+
+G04_SQL = """
+WITH os AS (SELECT DISTINCT l_orderkey AS o, 's:' || l_suppkey AS s FROM lineitem),
+edges AS (
+  SELECT DISTINCT x.s AS a, y.s AS b FROM os x JOIN os y ON x.o = y.o AND x.s < y.s
+),
+und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+deg AS (SELECT a AS node, COUNT(*) AS deg FROM und GROUP BY a),
+ranked AS (
+  SELECT u.a, u.b FROM und u
+  JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b
+  WHERE da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+),
+tris AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM ranked e1 JOIN ranked e2 ON e1.a = e2.a AND e1.b < e2.b
+  WHERE EXISTS (
+    SELECT 1 FROM ranked c
+    WHERE (c.a = e1.b AND c.b = e2.b) OR (c.a = e2.b AND c.b = e1.b)
+  )
+),
+members AS (
+  SELECT u AS node FROM tris UNION ALL SELECT v FROM tris UNION ALL SELECT w FROM tris
+)
+SELECT node, COUNT(*) AS tri_cnt FROM members GROUP BY node
+"""
+
+
+# --- g05: PageRank over the nation trade graph (K unrolled iterations) ------ #
+PR_ITERS = 3
+PR_DAMPING = 0.85
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS,
+             damping: float = PR_DAMPING) -> DataFrame:
+    """nodes(node), edges(src, dst, weight) -> (node, rank) after ``iters``
+    weighted power iterations from a uniform start; dangling mass is dropped
+    (the oracle mirrors that definition exactly). The normalized edge frame
+    is computed once; each iteration is one join + one sum keyed by dst.
+    """
+    n = nodes.count()
+    norm = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    enorm = edges.join(norm, "src").select(
+        "src", "dst", (F.col("weight") / F.col("out_w")).alias("share")
+    )
+    enorm = enorm.persist()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for i in range(iters):
+        # pin every few iterations: each unrolled step nests a join+agg over
+        # the previous rank plan, and past ~8 levels the analyzer cost and
+        # lineage depth grow superlinearly (the same reason canon's CC loop
+        # checkpoints per round). O(nodes) rows, so the pin is cheap.
+        if i and i % 4 == 0:
+            ranks = ranks.localCheckpoint()
+        contrib = (
+            enorm.join(ranks, enorm.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("share") * F.col("rank")).alias("inflow"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+    out = ranks.select("node", F.round("rank", 6).alias("rank"))
+    out = out.localCheckpoint()  # pin before releasing the edge frame
+    enorm.unpersist()
+    return out
+
+
+def g05_nation_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Trade-flow PageRank: nation A -> nation B weighted by how many
+    (order, supplier) pairs have the customer in A and the supplier in B."""
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    cust = load(spark, sf, "customer")
+    supp = load(spark, sf, "supplier")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    flows = (
+        os_.join(orders, os_.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, os_.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            _node("n", "c_nationkey").alias("src"),
+            _node("n", "s_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    nodes = load(spark, sf, "nation").select(_node("n", "n_nationkey").alias("node"))
+    return pagerank(nodes, flows)
+
+
+def _pr_iter_sql(i: int) -> str:
+    return f"""
+r{i + 1} AS (
+  SELECT n.node,
+         {(1.0 - PR_DAMPING)} / (SELECT COUNT(*) FROM nodes)
+         + {PR_DAMPING} * COALESCE(c.inflow, 0.0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, SUM(e.share * r.rank) AS inflow
+    FROM enorm e JOIN r{i} r ON r.node = e.src GROUP BY e.dst
+  ) c ON c.dst = n.node
+)"""
+
+
+G05_SQL = (
+    """
+WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+flows AS (
+  SELECT 'n:' || c_nationkey AS src, 'n:' || s_nationkey AS dst,
+         COUNT(*)::DOUBLE AS weight
+  FROM os
+  JOIN orders ON os.l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON os.l_suppkey = s_suppkey
+  GROUP BY 1, 2
+),
+nodes AS (SELECT 'n:' || n_nationkey AS node FROM nation),
+enorm AS (
+  SELECT src, dst, weight / SUM(weight) OVER (PARTITION BY src) AS share
+  FROM flows
+),
+r0 AS (SELECT node, 1.0 / (SELECT COUNT(*) FROM nodes) AS rank FROM nodes),"""
+    + ",".join(_pr_iter_sql(i) for i in range(PR_ITERS))
+    + f"""
+SELECT node, ROUND(rank, 6) AS rank FROM r{PR_ITERS}
+"""
+)
+
+
+# --- g06: N-Triples serialization ------------------------------------------- #
+def ntriples_line(subj, pred, obj) -> F.Column:
+    return F.concat(
+        F.lit("<urn:kgx:"), subj, F.lit("> <urn:kgx:pred:"), pred,
+        F.lit("> <urn:kgx:"), obj, F.lit("> ."),
+    )
+
+
+def escape_literal(col) -> F.Column:
+    """N-Triples string-literal escaping: backslash first, then quote."""
+    return F.expr(f"replace(replace({col}, '\\\\', '\\\\\\\\'), '\"', '\\\\\"')")
+
+
+def g06_ntriples_export(spark: SparkSession, sf: str) -> DataFrame:
+    """Serialize the KG — IRI triples from the shared build plus supplier
+    s_name literal triples (exercising literal escaping) — as N-Triples
+    lines. Pure codegen string work over the shared triple build; a real
+    deployment writes this frame with ``df.write.text`` sharded by subject."""
+    t = kg_triples(spark, sf)
+    iri = t.select(
+        ntriples_line(F.col("subj"), F.col("pred"), F.col("obj")).alias("line")
+    )
+    supp = load(spark, sf, "supplier")
+    lit = supp.select(
+        F.concat(
+            F.lit("<urn:kgx:"), _node("s", "s_suppkey"),
+            F.lit("> <urn:kgx:pred:name> \""), escape_literal("s_name"),
+            F.lit("\" ."),
+        ).alias("line")
+    )
+    return iri.unionByName(lit)
+
+
+G06_SQL = f"""
+WITH {_TRIPLES_CTE}
+SELECT '<urn:kgx:' || subj || '> <urn:kgx:pred:' || pred || '> <urn:kgx:'
+       || obj || '> .' AS line
+FROM triples
+UNION ALL
+SELECT '<urn:kgx:s:' || s_suppkey || '> <urn:kgx:pred:name> "'
+       || replace(replace(s_name, '\\', '\\\\'), '"', '\\"') || '" .'
+FROM supplier
+"""
+
+
+QUERIES = {
+    "g01_kg_triples": (g01_kg_triples, G01_SQL),
+    "g02_two_hop_neighbors": (g02_two_hop_neighbors, G02_SQL),
+    "g03_node_degree": (g03_node_degree, G03_SQL),
+    "g04_triangle_count": (g04_triangle_count, G04_SQL),
+    "g05_nation_pagerank": (g05_nation_pagerank, G05_SQL),
+    "g06_ntriples_export": (g06_ntriples_export, G06_SQL),
+}

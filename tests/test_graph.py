@@ -1,0 +1,138 @@
+"""KG-query operators (kgx.ops.graph): hand-computed semantics pins.
+
+Oracle parity (value hashes vs DuckDB at sf0.001/sf0.01) is covered by the
+driver contract / tools/check_oracle.py; these tests pin the graph semantics
+on graphs small enough to verify by hand or against numpy.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kgx.ops import graph
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a string, b string")
+
+
+def test_triangles_k4(spark):
+    """K4 has 4 triangles; every node participates in exactly 3."""
+    nodes = ["w", "x", "y", "z"]
+    k4 = [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]]
+    out = {r.node: r.tri_cnt for r in graph.count_triangles(_edges(spark, k4)).collect()}
+    assert out == {n: 3 for n in nodes}
+
+
+def test_triangles_path_graph_empty(spark):
+    out = graph.count_triangles(_edges(spark, [("a", "b"), ("b", "c"), ("c", "d")]))
+    assert out.count() == 0
+
+
+def test_triangles_hub_with_one_closure(spark):
+    """A star (hub h, leaves l1..l4) plus one leaf-leaf edge: exactly one
+    triangle (h, l1, l2) — the degree orientation must not lose or double it."""
+    star = [("h", f"l{i}") for i in range(1, 5)] + [("l1", "l2")]
+    out = {r.node: r.tri_cnt for r in graph.count_triangles(_edges(spark, star)).collect()}
+    assert out == {"h": 1, "l1": 1, "l2": 1}
+
+
+def test_pagerank_cycle_uniform(spark):
+    """On a directed 3-cycle the uniform distribution is stationary: every
+    iterate stays exactly 1/3."""
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "node string")
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, weight double",
+    )
+    out = {r.node: r.rank for r in graph.pagerank(nodes, edges, iters=4).collect()}
+    assert out == {"a": round(1 / 3, 6), "b": round(1 / 3, 6), "c": round(1 / 3, 6)}
+
+
+def test_pagerank_matches_numpy(spark):
+    """Weighted digraph with a dangling node, checked against a literal numpy
+    transcription of the same recurrence (dangling mass dropped)."""
+    import numpy as np
+
+    names = ["a", "b", "c", "d"]  # d is dangling
+    w = np.zeros((4, 4))
+    w[0, 1], w[0, 2], w[1, 2], w[2, 3], w[2, 0] = 3.0, 1.0, 2.0, 5.0, 1.0
+    r = np.full(4, 0.25)
+    for _ in range(graph.PR_ITERS):
+        outw = w.sum(axis=1)
+        share = np.divide(w, outw[:, None], out=np.zeros_like(w), where=outw[:, None] > 0)
+        r = (1 - graph.PR_DAMPING) / 4 + graph.PR_DAMPING * (share.T @ r)
+    nodes = spark.createDataFrame([(n,) for n in names], "node string")
+    edges = spark.createDataFrame(
+        [(names[i], names[j], float(w[i, j]))
+         for i in range(4) for j in range(4) if w[i, j]],
+        "src string, dst string, weight double",
+    )
+    got = {row.node: row.rank for row in graph.pagerank(nodes, edges).collect()}
+    assert got == {n: round(float(r[i]), 6) for i, n in enumerate(names)}
+
+
+def test_pagerank_mass_conserved_without_dangling(spark):
+    """No dangling nodes -> ranks sum to exactly 1 (up to rounding)."""
+    out = graph.g05_nation_pagerank(spark, SF)
+    total = out.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-4
+
+
+def test_two_hop_matches_direct_join(spark):
+    """The triple-table traversal equals the same chain computed straight from
+    the base tables."""
+    got = {
+        (r.supplier, r.customer)
+        for r in graph.g02_two_hop_neighbors(spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    want = {
+        (f"s:{r.l_suppkey}", f"c:{r.o_custkey}")
+        for r in li.filter(F.col("l_suppkey").between(1, graph.N_SEED_SUPPLIERS))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_suppkey", "o_custkey")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+
+
+def test_degree_totals(spark):
+    """sum(out) == sum(in) == |triples|; no node appears twice."""
+    t_cnt = graph.kg_triples(spark, SF).count()
+    deg = graph.g03_node_degree(spark, SF)
+    row = deg.agg(
+        F.sum("out_deg").alias("o"), F.sum("in_deg").alias("i"),
+        F.count("*").alias("n"), F.count_distinct("node").alias("d"),
+    ).first()
+    assert row.o == t_cnt and row.i == t_cnt
+    assert row.n == row.d
+
+
+def test_ntriples_escaping(spark):
+    df = spark.createDataFrame([('say "hi" \\ bye',)], "s_name string")
+    out = df.select(graph.escape_literal("s_name").alias("e")).first().e
+    assert out == 'say \\"hi\\" \\\\ bye'
+
+
+def test_ntriples_export_shape(spark):
+    lines = graph.g06_ntriples_export(spark, SF)
+    bad = lines.filter(~F.col("line").rlike(r"^<urn:kgx:[^>]+> <urn:kgx:pred:[^>]+> .* \.$"))
+    assert bad.count() == 0
+
+
+@pytest.mark.parametrize("name", sorted(graph.QUERIES))
+def test_graph_queries_return_rows(spark, name):
+    fn, sql = graph.QUERIES[name]
+    assert sql is not None
+    assert fn(spark, SF).count() > 0

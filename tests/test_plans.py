@@ -162,3 +162,26 @@ def test_salted_join_partitions_by_salt(spark):
 
     exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert exchanges and all("_salt" in e for e in exchanges), plan[:1500]
+
+
+def test_triangle_plan_reuses_pinned_edges(spark):
+    """count_triangles fans the slim edge list into four plan branches
+    (degree, orientation, wedge x2, closing x2); without the edge/ranked
+    pins the whole upstream edge-derivation pipeline re-executed once per
+    branch (~14 scan copies observed at sf0.01). The final plan must read
+    only the checkpointed id-pair RDDs — zero parquet re-scans."""
+    from kgx.ops import graph
+
+    plan = _plan(graph.g04_triangle_count(spark, SF))
+    assert "FileScan" not in plan, plan[:1500]
+
+
+def test_two_hop_seed_filter_reaches_scan(spark):
+    """The seeded traversal's isin filter must evaluate at the lineitem scan
+    (DataFilters on the concat'd node id), and the hop join must broadcast
+    the small seeded frontier."""
+    from kgx.ops import graph
+
+    plan = _plan(graph.g02_two_hop_neighbors(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "s:1" in plan  # seed literals pushed into the scan-side filter
