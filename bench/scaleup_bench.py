@@ -97,6 +97,63 @@ def build_synth() -> str:
     return out
 
 
+GRAPH_SRC = "/root/testdata/sf0.01"
+GRAPH_REPLICAS = 10
+GRAPH_SYNTH_VERSION = 1
+
+
+def build_graph_synth() -> str:
+    """10 DISJOINT copies of sf0.01's order/supplier graph (keys offset per
+    replica, so components never merge). The documents-style replication
+    above is wrong for the graph family: replicating lineitem AS-IS
+    collapses under the co-supply distinct (same keys -> same edges), and
+    TPC-H's uniform supplier assignment makes the sf0.1 co-supply graph 91%
+    of complete — a degenerate Θ(n³) shape no real co-occurrence graph has.
+    Disjoint copies grow triangle WORK linearly in replicas while the plan
+    (and its exchange count) must stay fixed — the 100 TB property under
+    test."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = f"/tmp/kgx_graph_synth_r{GRAPH_REPLICAS}_v{GRAPH_SYNTH_VERSION}"
+    marker = os.path.join(out, "_SUCCESS_KGX")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    tabs = {t: pq.read_table(f"{GRAPH_SRC}/{t}.parquet")
+            for t in ("lineitem", "orders", "customer", "supplier")}
+    span = {  # per-key offset stride: max(key)+1 of the OWNING table
+        "orderkey": pc.max(tabs["orders"]["o_orderkey"]).as_py() + 1,
+        "custkey": pc.max(tabs["customer"]["c_custkey"]).as_py() + 1,
+        "suppkey": pc.max(tabs["supplier"]["s_suppkey"]).as_py() + 1,
+    }
+    offset_cols = {
+        "lineitem": {"l_orderkey": "orderkey", "l_suppkey": "suppkey"},
+        "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+        "customer": {"c_custkey": "custkey"},
+        "supplier": {"s_suppkey": "suppkey"},
+    }
+    for name, tab in tabs.items():
+        parts = []
+        for k in range(GRAPH_REPLICAS):
+            rep = tab
+            for col, kind in offset_cols[name].items():
+                idx = rep.schema.get_field_index(col)
+                rep = rep.set_column(
+                    idx, col, pc.add(rep[col], k * span[kind]))
+            parts.append(rep)
+        pq.write_table(pa.concat_tables(parts), f"{out}/{name}.parquet",
+                       row_group_size=65536)
+    for t in ("region", "nation", "part", "events", "documents", "embeddings"):
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{GRAPH_SRC}/{t}.parquet", dst)
+    open(marker, "w").close()
+    return out
+
+
 def _exchanges(df) -> int:
     """Distinct Exchange OPERATORS in the formatted plan — counted from the
     details section's '(N) Exchange' headers so each node counts once and
@@ -189,6 +246,27 @@ def main() -> None:
                 / (p1["metrics_pass_sec"] / max(p1["candidate_pairs"], 1)),
                 2,
             )
+        result["queries"][name] = row
+        print(json.dumps({name: row}))
+
+    # graph-family leg: 1x = sf0.01, 10x = disjoint key-offset replication
+    # (see build_graph_synth for why the documents-style synth is wrong here)
+    gsynth = build_graph_synth()
+    for name in ("g03_node_degree", "g04_triangle_count",
+                 "g05_nation_pagerank"):
+        row = {}
+        for label, sf in (("sf0.01", GRAPH_SRC), ("graph_synth_10x", gsynth)):
+            best, n = None, 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = qs[name](spark, sf)
+                n = df.count()
+                dt = round(time.perf_counter() - t0, 2)
+                best = dt if best is None else min(best, dt)
+            row[label] = {"sec": best, "rows": n, "exchanges": _exchanges(df)}
+        row["slowdown_x"] = round(
+            row["graph_synth_10x"]["sec"] / max(row["sf0.01"]["sec"], 1e-9), 2
+        )
         result["queries"][name] = row
         print(json.dumps({name: row}))
     os.makedirs("BENCH", exist_ok=True)

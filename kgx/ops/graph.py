@@ -232,7 +232,17 @@ def count_triangles(edges: DataFrame) -> DataFrame:
 def g04_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     """Triangles in the co-supply graph: suppliers are adjacent when they
     supply the same order. Pair generation is per-order and bounded by the
-    max lineitems per order (TPC-H: 7), so it cannot blow up on wide rows."""
+    max lineitems per order (TPC-H: 7), so it cannot blow up on wide rows.
+
+    Density caveat (measured): TPC-H's uniform supplier assignment makes
+    this graph approach COMPLETE as SF grows (sf0.1: 453,588 of 499,500
+    possible edges, 91% dense, 143 s on local[16]) — on an actually-dense
+    graph wedge work is Θ(n³) and no orientation can help; the
+    degree-orientation bound (out-degree ≲ sqrt(|E|)) is about sparse
+    power-law graphs, which is what real co-occurrence graphs are. The
+    scale-up witness therefore replicates sf0.01 into DISJOINT copies
+    (bench/scaleup_bench.py graph leg): work grows linearly in copies with
+    a flat exchange count, which is the property that matters at 100 TB."""
     li = load(spark, sf, "lineitem")
     os_ = li.select(
         F.col("l_orderkey").alias("o"), _node("s", "l_suppkey").alias("s")
