@@ -388,6 +388,75 @@ SELECT node, ROUND(rank, 6) AS rank FROM r{PR_ITERS}
 )
 
 
+# --- g07: bounded-BFS min-hop distances ------------------------------------- #
+BFS_SEED = "s:1"
+BFS_MAX_DEPTH = 3
+
+
+def bfs_depths(edges: DataFrame, seeds: DataFrame, max_depth: int) -> DataFrame:
+    """edges(src, dst) directed, seeds(node) -> (node, depth): minimum hop
+    distance from any seed, up to ``max_depth``.
+
+    Frontier-expansion BFS, the Pregel shape expressed relationally: each
+    hop is one equi-join of the current frontier against the (persisted,
+    reused) edge frame plus one anti-join against the visited set — the
+    anti-join is what keeps hop K's work O(newly reached), not O(walks of
+    length K), on a cyclic graph. Each hop's (small) frontier is pinned with
+    localCheckpoint so the next hop's join and the final union read
+    materialized rows instead of re-deriving every prior hop (the same
+    lineage-growth reason canon's CC loop checkpoints per round). At web
+    scale the frontier join shuffles only node ids; AQE broadcasts the
+    frontier while it is small.
+    """
+    edges = edges.select("src", "dst").persist()
+    dist = seeds.select("node", F.lit(0).alias("depth")).localCheckpoint()
+    frontier = dist.select("node")
+    for d in range(1, max_depth + 1):
+        reached = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            reached.join(dist, "node", "left_anti")
+            .select("node", F.lit(d).alias("depth"))
+            .localCheckpoint()
+        )
+        dist = dist.union(new).localCheckpoint()
+        frontier = new.select("node")
+    edges.unpersist()
+    return dist
+
+
+def g07_bfs_depths(spark: SparkSession, sf: str) -> DataFrame:
+    """Everything within BFS_MAX_DEPTH undirected hops of the seed supplier,
+    with its minimum hop distance — the KG "neighborhood explore" query."""
+    t = kg_triples(spark, sf)
+    sym = t.select(F.col("subj").alias("src"), F.col("obj").alias("dst")).union(
+        t.select(F.col("obj").alias("src"), F.col("subj").alias("dst"))
+    ).distinct()
+    seeds = spark.createDataFrame([(BFS_SEED,)], "node string")
+    return bfs_depths(sym, seeds, BFS_MAX_DEPTH)
+
+
+G07_SQL = f"""
+WITH RECURSIVE {_TRIPLES_CTE},
+edges AS (
+  SELECT subj AS src, obj AS dst FROM triples
+  UNION
+  SELECT obj, subj FROM triples
+),
+walk(node, depth) AS (
+  SELECT '{BFS_SEED}', 0
+  UNION
+  SELECT e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.depth < {BFS_MAX_DEPTH}
+)
+SELECT node, MIN(depth) AS depth FROM walk GROUP BY node
+"""
+
+
 # --- g06: N-Triples serialization ------------------------------------------- #
 def ntriples_line(subj, pred, obj) -> F.Column:
     return F.concat(
@@ -440,4 +509,5 @@ QUERIES = {
     "g04_triangle_count": (g04_triangle_count, G04_SQL),
     "g05_nation_pagerank": (g05_nation_pagerank, G05_SQL),
     "g06_ntriples_export": (g06_ntriples_export, G06_SQL),
+    "g07_bfs_depths": (g07_bfs_depths, G07_SQL),
 }

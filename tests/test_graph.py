@@ -136,3 +136,36 @@ def test_graph_queries_return_rows(spark, name):
     fn, sql = graph.QUERIES[name]
     assert sql is not None
     assert fn(spark, SF).count() > 0
+
+
+def test_bfs_path_graph_depths(spark):
+    """Directed path a->b->c->d->e, seed a, max_depth 3: e is unreached."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {r.node: r.depth for r in graph.bfs_depths(edges, seeds, 3).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_bfs_min_depth_on_cycle(spark):
+    """Undirected 4-cycle from one seed: the far node is at depth 2 via
+    either arc — the visited anti-join must keep the MIN depth, and revisits
+    must not re-emit nodes."""
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {r.node: r.depth for r in graph.bfs_depths(edges, seeds, 3).collect()}
+    assert out == {"a": 0, "b": 1, "d": 1, "c": 2}
+
+
+def test_bfs_multi_seed(spark):
+    """Two seeds: depth is distance to the NEAREST seed."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("z", "c")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",), ("z",)], "node string")
+    out = {r.node: r.depth for r in graph.bfs_depths(edges, seeds, 3).collect()}
+    assert out == {"a": 0, "z": 0, "b": 1, "c": 1}
