@@ -253,7 +253,7 @@ def main() -> None:
     # (see build_graph_synth for why the documents-style synth is wrong here)
     gsynth = build_graph_synth()
     for name in ("g03_node_degree", "g04_triangle_count",
-                 "g05_nation_pagerank"):
+                 "g05_nation_pagerank", "g07_bfs_depths"):
         row = {}
         for label, sf in (("sf0.01", GRAPH_SRC), ("graph_synth_10x", gsynth)):
             best, n = None, 0

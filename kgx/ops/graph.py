@@ -150,18 +150,34 @@ WHERE h1.pred = 'supplied_by'
 
 # --- g03: node degree ------------------------------------------------------- #
 def g03_node_degree(spark: SparkSession, sf: str) -> DataFrame:
+    """One degree shuffle, one triple-build execution: each triple explodes
+    into two (node, is_out, is_in) indicator rows summed under a single
+    node-keyed hash agg. This replaces the two-agg + full-outer-join
+    formulation (6 exchanges) AND the naive subj/obj union (5 exchanges —
+    the union re-executed the triple build, with its two distincts, once
+    per side); the explode walks the triple table once, so the plan is the
+    build's 2 distinct exchanges + 1 degree exchange, with the map-side
+    partial agg compacting the doubled row stream before the shuffle. The
+    oracle keeps the textbook outer-join SQL — same values, independent
+    derivation."""
     t = kg_triples(spark, sf)
-    out_deg = t.groupBy(F.col("subj").alias("node")).agg(
-        F.count("*").alias("out_deg")
+    ends = t.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("subj").alias("node"),
+                    F.lit(1).alias("o"), F.lit(0).alias("i"),
+                ),
+                F.struct(
+                    F.col("obj").alias("node"),
+                    F.lit(0).alias("o"), F.lit(1).alias("i"),
+                ),
+            )
+        ).alias("e")
     )
-    in_deg = t.groupBy(F.col("obj").alias("node")).agg(F.count("*").alias("in_deg"))
     return (
-        out_deg.join(in_deg, "node", "full_outer")
-        .select(
-            "node",
-            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
-            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
-        )
+        ends.groupBy(F.col("e.node").alias("node"))
+        .agg(F.sum("e.o").alias("out_deg"), F.sum("e.i").alias("in_deg"))
         .withColumn("deg", F.col("out_deg") + F.col("in_deg"))
     )
 

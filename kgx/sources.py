@@ -83,3 +83,57 @@ def read_triples_jsonl(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(TRIPLES).json(path).select(
         [f.name for f in TRIPLES.fields]
     )
+
+
+# --- N-Triples sink/source (KG interchange) --------------------------------- #
+# Write the (subj, pred, obj) projection as W3C N-Triples lines:
+#   <urn:kgx:SUBJ> <urn:kgx:pred:PRED> "OBJ" .
+# subj/pred are minted as urn IRIs with the reserved characters
+# percent-encoded ('%' first, so decoding is unambiguous); obj — a JSON
+# payload in this engine, arbitrary text in general — is a literal with the
+# spec's string escapes. Lossy BY PROJECTION only (src_url/warc_ts/
+# content_sha provenance stays in parquet/CSV/JSONL; N-Triples carries
+# three terms) — the three serialized columns round-trip byte-exactly,
+# including quotes, backslashes, newlines, and unicode. Everything is
+# whole-stage-codegen string work; the sink is a distributed text write.
+
+_IRI_ENC = [("%", "%25"), (" ", "%20"), ("<", "%3C"), (">", "%3E"),
+            ('"', "%22"), ("\n", "%0A"), ("\r", "%0D"), ("\t", "%09")]
+_LIT_ESC = [("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"),
+            ("\t", "\\t")]
+
+
+def _chain_replace(col, pairs):
+    for a, b in pairs:
+        col = F.replace(col, F.lit(a), F.lit(b))
+    return col
+
+
+def write_triples_ntriples(triples: DataFrame, path: str) -> None:
+    line = F.concat(
+        F.lit("<urn:kgx:"), _chain_replace(F.col("subj"), _IRI_ENC),
+        F.lit("> <urn:kgx:pred:"), _chain_replace(F.col("pred"), _IRI_ENC),
+        F.lit('> "'), _chain_replace(F.col("obj"), _LIT_ESC),
+        F.lit('" .'),
+    )
+    triples.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
+def read_triples_ntriples(spark: SparkSession, path: str) -> DataFrame:
+    """Parse the lines this sink writes back to (subj, pred, obj). Decoding
+    applies the inverse substitutions in reverse order ('%25' and '\\\\'
+    last), which is what makes encode/decode a bijection."""
+    raw = spark.read.text(path)
+    pat = r'^<urn:kgx:(.*?)> <urn:kgx:pred:(.*?)> "(.*)" \.$'
+    parts = raw.select(
+        F.regexp_extract("value", pat, 1).alias("subj_enc"),
+        F.regexp_extract("value", pat, 2).alias("pred_enc"),
+        F.regexp_extract("value", pat, 3).alias("obj_esc"),
+    )
+    iri_dec = [(b, a) for a, b in reversed(_IRI_ENC)]
+    lit_dec = [(b, a) for a, b in reversed(_LIT_ESC)]
+    return parts.select(
+        _chain_replace(F.col("subj_enc"), iri_dec).alias("subj"),
+        _chain_replace(F.col("pred_enc"), iri_dec).alias("pred"),
+        _chain_replace(F.col("obj_esc"), lit_dec).alias("obj"),
+    )

@@ -50,3 +50,34 @@ def test_excel_roundtrip_or_clear_error(spark, tmp_path):
     pdf.to_excel(p, index=False)
     back = sources.read_excel(spark, p, usecols=["id", "name"])
     assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_ntriples_roundtrip_projection(spark, triples_df, tmp_path):
+    """N-Triples carries three terms; the (subj, pred, obj) projection must
+    round-trip byte-exactly through the text sink."""
+    p = str(tmp_path / "nt")
+    sources.write_triples_ntriples(triples_df, p)
+    back = sources.read_triples_ntriples(spark, p)
+    assert _key(back) == _key(triples_df.select("subj", "pred", "obj"))
+
+
+def test_ntriples_roundtrip_adversarial(spark, tmp_path):
+    """Reserved characters survive: IRI percent-encoding on subj/pred
+    (spaces, %, <>, quotes) and literal escapes on obj (backslash, quote,
+    newline, CR, tab), plus unicode."""
+    nasty = [
+        ("a corp", "placed", "plain"),
+        ("pct%20already", "x>y", 'say "hi" \\ bye'),
+        ("tab\there", "p", "line1\nline2\r\ttab"),
+        ("uni çé", "p", '{"k": "v\\"}'),
+        ("", "empty-subj", ""),
+    ]
+    df = spark.createDataFrame(nasty, "subj string, pred string, obj string")
+    p = str(tmp_path / "nt_adv")
+    sources.write_triples_ntriples(df, p)
+    back = sources.read_triples_ntriples(spark, p)
+    assert _key(back) == _key(df)
+    # every emitted line is a single well-formed N-Triples statement: no raw
+    # newlines survive into the serialization (one row -> one line)
+    lines = spark.read.text(p)
+    assert lines.count() == len(nasty)
