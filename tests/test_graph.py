@@ -169,3 +169,48 @@ def test_bfs_multi_seed(spark):
     seeds = spark.createDataFrame([("a",), ("z",)], "node string")
     out = {r.node: r.depth for r in graph.bfs_depths(edges, seeds, 3).collect()}
     assert out == {"a": 0, "z": 0, "b": 1, "c": 1}
+
+
+def test_graph_ops_compose_with_pipeline_triples(spark, tmp_path):
+    """The KG-query surface works over the ENGINE'S own triples, not just the
+    oracle tables: build the KG with kgx.pipeline, run degree + BFS over it,
+    and export it through the N-Triples sink losslessly."""
+    import pandas as pd
+
+    from kgx import fixtures, pipeline, sources
+
+    pages = spark.createDataFrame(pd.DataFrame(fixtures.gen_pages(30)))
+    triples = pipeline.build_triples(spark, pages).cache()
+    t_cnt = triples.count()
+    assert t_cnt > 0
+
+    edges = triples.select(
+        F.col("subj").alias("src"),
+        F.concat(F.col("pred"), F.lit("="), F.col("obj")).alias("dst"),
+    )
+    # degree over the engine KG: every subject's out-degree sums to |triples|
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("out_deg"))
+    )
+    assert deg.agg(F.sum("out_deg")).first()[0] == t_cnt
+
+    # BFS from one real subject reaches exactly its own facts at depth 1
+    seed = triples.select("subj").orderBy("subj").first().subj
+    seeds = spark.createDataFrame([(seed,)], "node string")
+    out = graph.bfs_depths(edges, seeds, 1)
+    d1 = {r.node for r in out.filter(F.col("depth") == 1).collect()}
+    want = {
+        f"{r.pred}={r.obj}"
+        for r in triples.filter(F.col("subj") == seed).collect()
+    }
+    assert d1 == want and want
+
+    # and the KG exports/reimports through the N-Triples sink byte-exactly
+    p = str(tmp_path / "kg_nt")
+    sources.write_triples_ntriples(triples, p)
+    back = sources.read_triples_ntriples(spark, p)
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in triples.select("subj", "pred", "obj").collect()
+    }
+    triples.unpersist()
