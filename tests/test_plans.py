@@ -185,3 +185,31 @@ def test_two_hop_seed_filter_reaches_scan(spark):
     plan = _plan(graph.g02_two_hop_neighbors(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "s:1" in plan  # seed literals pushed into the scan-side filter
+
+
+def test_store_read_prunes_pred_partitions(spark, tmp_path):
+    """The KG a user queries is the TripleStore, and it is pred-partitioned
+    on disk — a pred-filtered read must prune at the partition level
+    (PartitionFilters on the scan), not scan every predicate's files. This
+    is the store-side answer to the derived-triple-view queries (kgx/ops/
+    graph.py), whose concat-minted node ids evaluate at the scan but cannot
+    partition-prune."""
+    import pandas as pd
+
+    from kgx import extract, fixtures, pipeline
+    from kgx.checkpoint import TripleStore
+
+    pages = spark.createDataFrame(pd.DataFrame(fixtures.gen_pages(20)))
+    flagged, metrics = extract.validate_triples(
+        pipeline.build_triples(spark, pages)
+    )
+    store = TripleStore(str(tmp_path / "prune_store"), n_buckets=2)
+    store.commit(flagged.drop("valid"), buckets=[0], metrics=metrics)
+
+    df = store.read(spark).filter(F.col("pred") == "methodology")
+    plan = _plan(df)
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert pf and any("pred" in f and "methodology" in f for f in pf), plan[:1500]
+    assert df.count() > 0
