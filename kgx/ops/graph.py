@@ -34,6 +34,15 @@ Scale posture, per operator:
   edge join. Dangling mass is dropped (identically in the oracle).
 - N-Triples export (g06): pure string concat/escape in the projection —
   whole-stage codegen, no shuffle beyond the shared triple build.
+- sameAs resolution (g08): CC over the sameAs graph only (sized by the alias
+  population, not the triple count — kgx.canon's budget-gated driver /
+  large-star CC), then one node-keyed mapping join per side; the mapping is
+  the same broadcast-dictionary shape as the pipeline's proponent rewrite.
+- transitive closure (g09): semi-naive Datalog — each round joins only the
+  new frontier pairs and anti-joins the found set, so work is O(closure),
+  never O(walks); per-round localCheckpoint caps lineage.
+- entity docs (g10): one node-keyed hash agg with map-side partial collect;
+  sort is per-group (bounded by out-degree), never global.
 """
 
 from __future__ import annotations
@@ -518,6 +527,233 @@ FROM supplier
 """
 
 
+# --- g08: owl:sameAs entity resolution over an aliased KG ------------------- #
+def aliased_triples(spark: SparkSession, sf: str) -> DataFrame:
+    """A deliberately UN-resolved KG: the same customer appears under three
+    surface forms minted by different source tables — ``c:<custkey>`` (the
+    orders feed), ``cn:<name>`` (the customer-dim located_in feed) and
+    ``cp:<NAME>`` (the segment feed's upper-cased surface form). This is the
+    raw state of any KG built from multiple extractors before entity
+    resolution."""
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    placed = orders.select(
+        _node("c", "o_custkey").alias("subj"),
+        F.lit("placed").alias("pred"),
+        _node("o", "o_orderkey").alias("obj"),
+    )
+    located = cust.select(
+        _node("cn", "c_name").alias("subj"),
+        F.lit("located_in").alias("pred"),
+        _node("n", "c_nationkey").alias("obj"),
+    )
+    segment = cust.select(
+        F.concat(F.lit("cp:"), F.upper("c_name")).alias("subj"),
+        F.lit("in_segment").alias("pred"),
+        _node("m", "c_mktsegment").alias("obj"),
+    )
+    return placed.unionByName(located).unionByName(segment)
+
+
+def sameas_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """The owl:sameAs assertions linking the three alias forms as a CHAIN
+    (c:<key> — cn:<name> — cp:<NAME>): resolving c: to cp: requires real
+    transitive merging, not a one-hop lookup."""
+    cust = load(spark, sf, "customer")
+    return cust.select(
+        _node("c", "c_custkey").alias("a"), _node("cn", "c_name").alias("b")
+    ).unionByName(
+        cust.select(
+            _node("cn", "c_name").alias("a"),
+            F.concat(F.lit("cp:"), F.upper("c_name")).alias("b"),
+        )
+    )
+
+
+def resolve_sameas(triples: DataFrame, edges: DataFrame) -> DataFrame:
+    """Rewrite every subj/obj onto its equivalence class's canonical id
+    (min surface over the sameAs component) and collapse duplicates.
+
+    This is the KG-construction step the reference pipeline stops short of:
+    connected components over the sameAs graph (kgx.canon's budget-gated
+    driver/large-star CC — sized by the ALIAS population, not the triple
+    count), then one node-keyed mapping join per side. At web scale the
+    mapping is the same broadcast-dictionary shape as the extraction
+    pipeline's proponent rewrite; only node ids cross the shuffle, never
+    triple payloads."""
+    from kgx.canon import connected_components
+
+    nodes = (
+        triples.select(F.col("subj").alias("surface"))
+        .unionByName(triples.select(F.col("obj").alias("surface")))
+        .distinct()
+    )
+    comp = connected_components(nodes, edges)
+    rep = comp.groupBy("component").agg(F.min("surface").alias("canon"))
+    mapping = comp.join(rep, "component").select("surface", "canon")
+    sub_m = mapping.withColumnRenamed("surface", "subj").withColumnRenamed(
+        "canon", "canon_subj"
+    )
+    obj_m = mapping.withColumnRenamed("surface", "obj").withColumnRenamed(
+        "canon", "canon_obj"
+    )
+    return (
+        triples.join(sub_m, "subj")
+        .join(obj_m, "obj")
+        .select(
+            F.col("canon_subj").alias("subj"),
+            "pred",
+            F.col("canon_obj").alias("obj"),
+        )
+        .distinct()
+    )
+
+
+def g08_sameas_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    return resolve_sameas(aliased_triples(spark, sf), sameas_edges(spark, sf))
+
+
+G08_SQL = """
+WITH RECURSIVE triples AS (
+  SELECT 'c:' || o_custkey AS subj, 'placed' AS pred, 'o:' || o_orderkey AS obj
+  FROM orders
+  UNION ALL
+  SELECT 'cn:' || c_name, 'located_in', 'n:' || c_nationkey FROM customer
+  UNION ALL
+  SELECT 'cp:' || upper(c_name), 'in_segment', 'm:' || c_mktsegment FROM customer
+),
+e AS (
+  SELECT 'c:' || c_custkey AS a, 'cn:' || c_name AS b FROM customer
+  UNION ALL
+  SELECT 'cn:' || c_name, 'cp:' || upper(c_name) FROM customer
+),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+nodes AS (SELECT subj AS s FROM triples UNION SELECT obj FROM triples),
+reach AS (
+  SELECT s AS a, s AS b FROM nodes
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+canon AS (SELECT a AS surface, MIN(b) AS canon FROM reach GROUP BY a)
+SELECT DISTINCT cs.canon AS subj, t.pred, co.canon AS obj
+FROM triples t
+JOIN canon cs ON cs.surface = t.subj
+JOIN canon co ON co.surface = t.obj
+"""
+
+
+# --- g09: transitive-closure inference (RDFS/SKOS-style materialization) ---- #
+def transitive_closure(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """edges(src, dst) -> every (src, dst) with a directed path of >= 1 edge.
+
+    Semi-naive iteration: each round extends only LAST round's new pairs by
+    one hop and anti-joins against everything already found, so round K's
+    join is O(pairs first reached at K hops), not O(all walks) — the same
+    frontier discipline as bfs_depths. The anti-join also makes cycles
+    terminate (the pair set is finite; a cycle just adds (x, x) self-pairs
+    and stops producing new rows). Each round's delta is pinned with
+    localCheckpoint (lineage growth, one pin per round, O(pairs) rows);
+    raises past ``max_iter`` — hit only by a hierarchy deeper than
+    ``max_iter`` levels, not by cycles — rather than looping silently."""
+    edges = edges.select("src", "dst").distinct().persist()
+    paths = edges.localCheckpoint()
+    delta = paths
+    for _ in range(max_iter):
+        new = (
+            delta.alias("d")
+            .join(edges.alias("e"), F.col("d.dst") == F.col("e.src"))
+            .select(F.col("d.src").alias("src"), F.col("e.dst").alias("dst"))
+            .distinct()
+            .join(paths, ["src", "dst"], "left_anti")
+            .localCheckpoint()
+        )
+        if not new.take(1):
+            edges.unpersist()
+            return paths
+        paths = paths.union(new).localCheckpoint()
+        delta = new
+    edges.unpersist()
+    raise RuntimeError(f"transitive_closure: no fixpoint after {max_iter} rounds (cycle?)")
+
+
+def g09_located_in_closure(spark: SparkSession, sf: str) -> DataFrame:
+    """Ontology-closure materialization: customers are located_in a nation;
+    nations are partOf a region; regions are partOf 'world'. Materialize
+    ``located_in_any`` = located_in ∘ partOf* (zero or more hops), the
+    RDFS-subPropertyOf/subClassOf inference every KG store precomputes so
+    that 'customers in region r:1' is a scan, not a runtime traversal."""
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region")
+    cust = load(spark, sf, "customer")
+    part_of = nation.select(
+        _node("n", "n_nationkey").alias("src"), _node("r", "n_regionkey").alias("dst")
+    ).unionByName(
+        region.select(
+            _node("r", "r_regionkey").alias("src"), F.lit("world").alias("dst")
+        )
+    )
+    anc = transitive_closure(part_of)
+    star = anc.unionByName(
+        nation.select(
+            _node("n", "n_nationkey").alias("src"),
+            _node("n", "n_nationkey").alias("dst"),
+        )
+    )
+    locs = cust.select(
+        _node("c", "c_custkey").alias("subj"), _node("n", "c_nationkey").alias("mid")
+    )
+    return locs.join(star, locs.mid == star.src).select(
+        "subj", F.lit("located_in_any").alias("pred"), F.col("dst").alias("obj")
+    )
+
+
+G09_SQL = """
+WITH RECURSIVE part_of AS (
+  SELECT 'n:' || n_nationkey AS src, 'r:' || n_regionkey AS dst FROM nation
+  UNION ALL
+  SELECT 'r:' || r_regionkey, 'world' FROM region
+),
+anc AS (
+  SELECT src, dst FROM part_of
+  UNION
+  SELECT a.src, p.dst FROM anc a JOIN part_of p ON p.src = a.dst
+),
+star AS (
+  SELECT src, dst FROM anc
+  UNION ALL
+  SELECT 'n:' || n_nationkey, 'n:' || n_nationkey FROM nation
+)
+SELECT 'c:' || c_custkey AS subj, 'located_in_any' AS pred, s.dst AS obj
+FROM customer JOIN star s ON s.src = 'n:' || c_nationkey
+"""
+
+
+# --- g10: entity-document consolidation (the KG serving view) ---------------- #
+def g10_entity_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Consolidate each subject's outgoing properties into one deterministic
+    document string — the per-entity artifact an entity-serving store or an
+    LLM-context builder reads. One node-keyed hash agg over the shared
+    triple build (map-side partial collect; property lists are bounded by
+    out-degree, and the sort is per-group, never global)."""
+    t = kg_triples(spark, sf)
+    return t.groupBy("subj").agg(
+        F.concat_ws(
+            "|", F.sort_array(F.collect_list(F.concat_ws("=", "pred", "obj")))
+        ).alias("doc"),
+        F.count("*").alias("n_props"),
+    )
+
+
+G10_SQL = f"""
+WITH {_TRIPLES_CTE}
+SELECT subj,
+       string_agg(pred || '=' || obj, '|' ORDER BY pred || '=' || obj) AS doc,
+       COUNT(*) AS n_props
+FROM triples
+GROUP BY subj
+"""
+
+
 QUERIES = {
     "g01_kg_triples": (g01_kg_triples, G01_SQL),
     "g02_two_hop_neighbors": (g02_two_hop_neighbors, G02_SQL),
@@ -526,4 +762,7 @@ QUERIES = {
     "g05_nation_pagerank": (g05_nation_pagerank, G05_SQL),
     "g06_ntriples_export": (g06_ntriples_export, G06_SQL),
     "g07_bfs_depths": (g07_bfs_depths, G07_SQL),
+    "g08_sameas_resolution": (g08_sameas_resolution, G08_SQL),
+    "g09_located_in_closure": (g09_located_in_closure, G09_SQL),
+    "g10_entity_docs": (g10_entity_docs, G10_SQL),
 }

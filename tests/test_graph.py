@@ -214,3 +214,90 @@ def test_graph_ops_compose_with_pipeline_triples(spark, tmp_path):
         tuple(r) for r in triples.select("subj", "pred", "obj").collect()
     }
     triples.unpersist()
+
+
+def test_resolve_sameas_chain_merge(spark):
+    """A 3-node sameAs chain (x1—x2—x3) must land every mention on ONE
+    canonical id (the min surface), drop nothing but duplicates, and leave
+    unrelated nodes untouched."""
+    triples = spark.createDataFrame(
+        [
+            ("x2", "likes", "y"),   # alias form 2
+            ("x3", "likes", "y"),   # alias form 3 -> duplicate after rewrite
+            ("x1", "knows", "z"),   # alias form 1
+            ("q", "likes", "x3"),   # alias in OBJECT position
+        ],
+        "subj string, pred string, obj string",
+    )
+    edges = _edges(spark, [("x1", "x2"), ("x2", "x3")])
+    out = {tuple(r) for r in graph.resolve_sameas(triples, edges).collect()}
+    assert out == {
+        ("x1", "likes", "y"),
+        ("x1", "knows", "z"),
+        ("q", "likes", "x1"),
+    }
+
+
+def test_resolve_sameas_no_edges_identity(spark):
+    """With no sameAs assertions the rewrite is the identity (modulo distinct)."""
+    triples = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("a", "p", "b")],
+        "subj string, pred string, obj string",
+    )
+    empty = spark.createDataFrame([], "a string, b string")
+    out = {tuple(r) for r in graph.resolve_sameas(triples, empty).collect()}
+    assert out == {("a", "p", "b"), ("b", "p", "c")}
+
+
+def test_transitive_closure_two_chains(spark):
+    """a->b->c->d plus an unrelated e->f: all 6 ancestor pairs on the chain,
+    exactly 1 on the islet, nothing across."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f")], "src string, dst string"
+    )
+    out = {tuple(r) for r in graph.transitive_closure(edges).collect()}
+    assert out == {
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"), ("e", "f"),
+    }
+
+
+def test_transitive_closure_dag_diamond(spark):
+    """Diamond a->{b,c}->d: (a,d) appears once (closure is a SET of pairs,
+    not a bag of paths)."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")], "src string, dst string"
+    )
+    rows = graph.transitive_closure(edges).collect()
+    assert len(rows) == len({tuple(r) for r in rows}) == 5
+
+
+def test_transitive_closure_cycle_terminates_with_self_pairs(spark):
+    """A 2-cycle's reachability set is finite — the anti-join must reach a
+    fixpoint (including the (x, x) self-pairs a cycle induces), not loop."""
+    out = {
+        tuple(r)
+        for r in graph.transitive_closure(
+            spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string"),
+            max_iter=5,
+        ).collect()
+    }
+    assert out == {("a", "b"), ("b", "a"), ("a", "a"), ("b", "b")}
+
+
+def test_transitive_closure_depth_budget_raises(spark):
+    """A chain deeper than max_iter must raise, not silently truncate."""
+    chain = [(f"v{i}", f"v{i+1}") for i in range(6)]
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        graph.transitive_closure(
+            spark.createDataFrame(chain, "src string, dst string"), max_iter=2
+        )
+
+
+def test_entity_docs_sorted_deterministic(spark):
+    """g10's per-entity doc lists properties in sorted order regardless of
+    input row order (the serving artifact must be byte-stable)."""
+    df = graph.g10_entity_docs(spark, SF)
+    row = df.orderBy("subj").first()
+    parts = row.doc.split("|")
+    assert parts == sorted(parts) and row.n_props == len(parts)
