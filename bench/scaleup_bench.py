@@ -252,8 +252,14 @@ def main() -> None:
     # graph-family leg: 1x = sf0.01, 10x = disjoint key-offset replication
     # (see build_graph_synth for why the documents-style synth is wrong here)
     gsynth = build_graph_synth()
+    # g08 note: the synth offsets KEYS but shares c_name across replicas, so
+    # its sameAs components span replicas (12 nodes: 10 c:<key> aliases + the
+    # shared cn:/cp: forms) — input still grows 10x with a fixed plan, and the
+    # CC leg additionally exercises wider-than-chain components.
     for name in ("g03_node_degree", "g04_triangle_count",
-                 "g05_nation_pagerank", "g07_bfs_depths"):
+                 "g05_nation_pagerank", "g07_bfs_depths",
+                 "g08_sameas_resolution", "g09_located_in_closure",
+                 "g10_entity_docs"):
         row = {}
         for label, sf in (("sf0.01", GRAPH_SRC), ("graph_synth_10x", gsynth)):
             best, n = None, 0

@@ -301,3 +301,69 @@ def test_entity_docs_sorted_deterministic(spark):
     row = df.orderBy("subj").first()
     parts = row.doc.split("|")
     assert parts == sorted(parts) and row.n_props == len(parts)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_resolve_sameas_matches_python_union_find(spark, seed):
+    """Random alias graphs: the Spark rewrite must agree with a pure-Python
+    union-find + dict-rewrite reference on every (subj, pred, obj)."""
+    import random
+
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(14)]
+    triples = [
+        (rng.choice(nodes), rng.choice("pq"), rng.choice(nodes)) for _ in range(25)
+    ]
+    edges = [tuple(rng.sample(nodes, 2)) for _ in range(7)]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    members: dict[str, list[str]] = {}
+    for n in nodes:
+        members.setdefault(find(n), []).append(n)
+    canon = {n: min(members[find(n)]) for n in nodes}
+    want = {(canon[s], p, canon[o]) for s, p, o in triples}
+
+    got = graph.resolve_sameas(
+        spark.createDataFrame(triples, "subj string, pred string, obj string"),
+        _edges(spark, edges),
+    )
+    assert {tuple(r) for r in got.collect()} == want
+
+
+@pytest.mark.parametrize("seed", [3, 4, 5])
+def test_transitive_closure_matches_python_reachability(spark, seed):
+    """Random sparse digraphs (cycles allowed): closure must equal the
+    brute-force >=1-edge reachability set."""
+    import random
+
+    rng = random.Random(seed)
+    nodes = [f"v{i}" for i in range(10)]
+    edges = {tuple(rng.sample(nodes, 2)) for _ in range(12)}
+
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    want = set()
+    for start in nodes:
+        seen, stack = set(), list(adj.get(start, ()))
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            stack.extend(adj.get(x, ()))
+        want |= {(start, x) for x in seen}
+
+    got = graph.transitive_closure(
+        spark.createDataFrame(sorted(edges), "src string, dst string")
+    )
+    assert {tuple(r) for r in got.collect()} == want

@@ -213,3 +213,29 @@ def test_store_read_prunes_pred_partitions(spark, tmp_path):
     pf = re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
     assert pf and any("pred" in f and "methodology" in f for f in pf), plan[:1500]
     assert df.count() > 0
+
+
+def test_closure_star_side_broadcasts(spark):
+    """g09's partOf-closure side is O(nations x depth) rows — it must
+    broadcast into the customer join, never shuffle the fact side."""
+    from kgx.ops import graph
+
+    plan = _plan(graph.g09_located_in_closure(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_entity_docs_single_agg_exchange(spark):
+    """g10 is the shared triple build (2 distinct exchanges) plus exactly ONE
+    subj-keyed agg exchange — no global sort, no extra shuffle for the
+    per-group property ordering."""
+    import re
+
+    from kgx.ops import graph
+
+    plan = _plan(graph.g10_entity_docs(spark, SF))
+    n_ex = len(re.findall(r"\bExchange\b", plan)) - plan.count("ReusedExchange")
+    assert n_ex <= 3, plan[:1500]
+    # the collect happens inside the agg (map-side partial), not via a sort
+    assert "collect_list" in plan
+    assert "TakeOrderedAndProject" not in plan and "GlobalLimit" not in plan
