@@ -754,6 +754,88 @@ GROUP BY subj
 """
 
 
+# --- g11: SPARQL-style basic-graph-pattern matching ------------------------- #
+def match_bgp(triples: DataFrame, pattern: list[tuple[str, str, str]]) -> DataFrame:
+    """SPARQL BGP matcher: ``pattern`` is a conjunction of (subj, pred, obj)
+    triple patterns where ``?name`` terms are variables and anything else is
+    a literal constraint; returns one column per variable and one DISTINCT
+    row per satisfying binding.
+
+    Compilation, not interpretation: each triple pattern becomes a filtered
+    projection of the triple table and patterns fold left-to-right joined on
+    their shared variables — Catalyst sees ordinary equi-joins, so literal
+    constraints push to the scan, selective patterns broadcast under AQE,
+    and the N-pattern match is the same physical shape as a hand-written
+    N-way self-join. A pattern sharing NO variable with what's already bound
+    is a cartesian product and raises rather than silently exploding
+    (reorder the conjunction instead — SPARQL engines do the same).
+    """
+    if not pattern:
+        raise ValueError("match_bgp: empty pattern")
+
+    def is_var(term: str) -> bool:
+        return term.startswith("?")
+
+    bound: DataFrame | None = None
+    bound_vars: set[str] = set()
+    var_order: list[str] = []
+    for pi, (s, p, o) in enumerate(pattern):
+        df = triples
+        cols, seen = [], {}
+        for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
+            if is_var(term):
+                v = term[1:]
+                if v in seen:  # repeated var WITHIN one pattern: (?x, p, ?x)
+                    df = df.filter(F.col(col) == F.col(seen[v]))
+                else:
+                    seen[v] = col
+                    cols.append(F.col(col).alias(v))
+            else:
+                df = df.filter(F.col(col) == term)
+        if not cols:
+            raise ValueError(f"match_bgp: pattern {pi} binds no variable")
+        df = df.select(*cols)
+        if bound is None:
+            bound, bound_vars = df, set(seen)
+        else:
+            shared = sorted(bound_vars & set(seen))
+            if not shared:
+                raise ValueError(
+                    f"match_bgp: pattern {pi} shares no variable with the "
+                    "patterns before it (cartesian product) — reorder the "
+                    "conjunction"
+                )
+            bound = bound.join(df, shared)
+            bound_vars |= set(seen)
+        var_order += [v for v in seen if v not in var_order]
+    # joins put shared keys first — restore first-appearance variable order
+    return bound.select(*var_order).distinct()
+
+
+BGP_PATTERN = [
+    ("?c", "located_in", "n:1"),
+    ("?c", "placed", "?o"),
+    ("?o", "supplied_by", "?s"),
+]
+
+
+def g11_bgp_match(spark: SparkSession, sf: str) -> DataFrame:
+    """The KG question 'which suppliers serve customers located in nation
+    n:1, and through which orders?' as a 3-pattern BGP — a filter pattern,
+    a chain join, and a second chain join sharing the order variable."""
+    return match_bgp(kg_triples(spark, sf), BGP_PATTERN)
+
+
+G11_SQL = f"""
+WITH {_TRIPLES_CTE}
+SELECT DISTINCT t1.subj AS c, t2.obj AS o, t3.obj AS s
+FROM triples t1
+JOIN triples t2 ON t2.pred = 'placed' AND t2.subj = t1.subj
+JOIN triples t3 ON t3.pred = 'supplied_by' AND t3.subj = t2.obj
+WHERE t1.pred = 'located_in' AND t1.obj = 'n:1'
+"""
+
+
 QUERIES = {
     "g01_kg_triples": (g01_kg_triples, G01_SQL),
     "g02_two_hop_neighbors": (g02_two_hop_neighbors, G02_SQL),
@@ -765,4 +847,5 @@ QUERIES = {
     "g08_sameas_resolution": (g08_sameas_resolution, G08_SQL),
     "g09_located_in_closure": (g09_located_in_closure, G09_SQL),
     "g10_entity_docs": (g10_entity_docs, G10_SQL),
+    "g11_bgp_match": (g11_bgp_match, G11_SQL),
 }

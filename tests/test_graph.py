@@ -367,3 +367,63 @@ def test_transitive_closure_matches_python_reachability(spark, seed):
         spark.createDataFrame(sorted(edges), "src string, dst string")
     )
     assert {tuple(r) for r in got.collect()} == want
+
+
+def _kg(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_bgp_chain_binding(spark):
+    t = _kg(spark, [
+        ("a", "knows", "b"), ("b", "knows", "c"),
+        ("a", "likes", "x"), ("c", "knows", "a"),
+    ])
+    out = graph.match_bgp(t, [("?u", "knows", "?v"), ("?v", "knows", "?w")])
+    assert {tuple(r) for r in out.collect()} == {
+        ("a", "b", "c"), ("b", "c", "a"), ("c", "a", "b"),
+    }
+    assert out.columns == ["u", "v", "w"]
+
+
+def test_bgp_literal_constraints_and_star(spark):
+    """Star pattern: two constraints on the same subject variable intersect."""
+    t = _kg(spark, [
+        ("p1", "type", "person"), ("p1", "lives_in", "rome"),
+        ("p2", "type", "person"), ("p2", "lives_in", "oslo"),
+        ("d1", "type", "dog"), ("d1", "lives_in", "rome"),
+    ])
+    out = graph.match_bgp(
+        t, [("?p", "type", "person"), ("?p", "lives_in", "rome")]
+    )
+    assert [tuple(r) for r in out.collect()] == [("p1",)]
+
+
+def test_bgp_repeated_var_within_pattern(spark):
+    """(?x, p, ?x) matches only self-loops."""
+    t = _kg(spark, [("a", "p", "a"), ("a", "p", "b"), ("c", "p", "c")])
+    out = graph.match_bgp(t, [("?x", "p", "?x")])
+    assert {r.x for r in out.collect()} == {"a", "c"}
+
+
+def test_bgp_variable_predicate(spark):
+    t = _kg(spark, [("a", "p", "b"), ("a", "q", "b"), ("a", "p", "c")])
+    out = graph.match_bgp(t, [("a", "?rel", "b")])
+    assert {r.rel for r in out.collect()} == {"p", "q"}
+
+
+def test_bgp_disconnected_pattern_raises(spark):
+    t = _kg(spark, [("a", "p", "b")])
+    with pytest.raises(ValueError, match="cartesian"):
+        graph.match_bgp(t, [("?x", "p", "?y"), ("?u", "p", "?v")])
+
+
+def test_bgp_no_variable_pattern_raises(spark):
+    t = _kg(spark, [("a", "p", "b")])
+    with pytest.raises(ValueError, match="binds no variable"):
+        graph.match_bgp(t, [("a", "p", "b")])
+
+
+def test_bgp_empty_pattern_raises(spark):
+    t = _kg(spark, [("a", "p", "b")])
+    with pytest.raises(ValueError, match="empty"):
+        graph.match_bgp(t, [])

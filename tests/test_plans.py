@@ -239,3 +239,15 @@ def test_entity_docs_single_agg_exchange(spark):
     # the collect happens inside the agg (map-side partial), not via a sort
     assert "collect_list" in plan
     assert "TakeOrderedAndProject" not in plan and "GlobalLimit" not in plan
+
+
+def test_bgp_literals_filter_before_join_and_broadcast(spark):
+    """g11's compiled BGP is two BroadcastHashJoins over scan-side-filtered
+    projections — the literal constraints (pred equality, the n:1 object)
+    evaluate at the scan, never after the join."""
+    from kgx.ops import graph
+
+    plan = _plan(graph.g11_bgp_match(spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "n:1" in plan
