@@ -259,7 +259,7 @@ def main() -> None:
     for name in ("g03_node_degree", "g04_triangle_count",
                  "g05_nation_pagerank", "g07_bfs_depths",
                  "g08_sameas_resolution", "g09_located_in_closure",
-                 "g10_entity_docs"):
+                 "g10_entity_docs", "g11_bgp_match"):
         row = {}
         for label, sf in (("sf0.01", GRAPH_SRC), ("graph_synth_10x", gsynth)):
             best, n = None, 0
