@@ -754,6 +754,57 @@ GROUP BY subj
 """
 
 
+# --- incremental degree-view maintenance (streaming x graph composition) ---- #
+def degree_delta(triples: DataFrame) -> DataFrame:
+    """One batch/epoch of triples -> its (node, out_deg, in_deg) contribution
+    (same explode-indicator shape as g03, minus the final total)."""
+    ends = triples.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("subj").alias("node"),
+                    F.lit(1).alias("o"), F.lit(0).alias("i"),
+                ),
+                F.struct(
+                    F.col("obj").alias("node"),
+                    F.lit(0).alias("o"), F.lit(1).alias("i"),
+                ),
+            )
+        ).alias("e")
+    )
+    return ends.groupBy(F.col("e.node").alias("node")).agg(
+        F.sum("e.o").alias("out_deg"), F.sum("e.i").alias("in_deg")
+    )
+
+
+def merge_degree_view(prev: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Fold one epoch's degree contribution into the maintained view.
+
+    Degree is ALGEBRAIC (a sum), so the view is maintainable with one
+    node-keyed merge per epoch — O(delta + affected nodes), never a
+    re-scan of the store. This is the materialized-view discipline a
+    100 TB deployment needs for any KG statistic it serves: recomputing
+    g03 over the full store per epoch is O(store) and loses; the merge is
+    the same additive shape Structured Streaming's update-mode agg state
+    keeps, expressed storably (write the merged frame per epoch, or keep
+    it as the foreachBatch state). Pinned equal to the full recompute by
+    `test_incremental_degree_matches_batch`."""
+    d = delta.select("node", "out_deg", "in_deg")
+    if prev is None:
+        merged = d
+    else:
+        merged = (
+            prev.select("node", "out_deg", "in_deg")
+            .unionByName(d)
+            .groupBy("node")
+            .agg(
+                F.sum("out_deg").alias("out_deg"),
+                F.sum("in_deg").alias("in_deg"),
+            )
+        )
+    return merged.withColumn("deg", F.col("out_deg") + F.col("in_deg"))
+
+
 # --- g11: SPARQL-style basic-graph-pattern matching ------------------------- #
 def match_bgp(triples: DataFrame, pattern: list[tuple[str, str, str]]) -> DataFrame:
     """SPARQL BGP matcher: ``pattern`` is a conjunction of (subj, pred, obj)

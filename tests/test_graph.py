@@ -445,3 +445,46 @@ def test_resolve_sameas_distributed_cc_path_identical(spark, monkeypatch):
     monkeypatch.setattr(canon, "DRIVER_CC_MAX_EDGES", 0)
     got = {tuple(r) for r in graph.resolve_sameas(triples, edges).collect()}
     assert got == want == {("x1", "likes", "y"), ("q", "likes", "x1")}
+
+
+def test_incremental_degree_matches_batch(spark):
+    """Folding per-epoch degree deltas must equal the one-shot g03-style
+    degree over the concatenated triples — the algebraic view-maintenance
+    contract (no O(store) recompute per epoch)."""
+    epochs = [
+        [("a", "p", "b"), ("b", "p", "c")],
+        [("a", "p", "c"), ("c", "q", "a")],
+        [("d", "p", "a")],
+    ]
+    view = None
+    for rows in epochs:
+        view = graph.merge_degree_view(view, graph.degree_delta(_kg(spark, rows)))
+    full = graph.merge_degree_view(
+        None, graph.degree_delta(_kg(spark, [r for e in epochs for r in e]))
+    )
+    assert {tuple(r) for r in view.collect()} == {tuple(r) for r in full.collect()}
+
+
+def test_incremental_degree_over_store_units(spark, tmp_path):
+    """The same maintenance works over the engine's own TripleStore: one
+    delta per committed unit, merged view equals the degree of the full
+    store read."""
+    import pandas as pd
+
+    from kgx import extract, fixtures, pipeline
+    from kgx.checkpoint import TripleStore
+
+    store = TripleStore(str(tmp_path / "deg_store"), n_buckets=2)
+    view = None
+    for lo, hi, bucket in ((0, 15, 0), (15, 30, 1)):
+        pages = spark.createDataFrame(pd.DataFrame(fixtures.gen_pages(30)[lo:hi]))
+        flagged, metrics = extract.validate_triples(
+            pipeline.build_triples(spark, pages)
+        )
+        unit = flagged.drop("valid").localCheckpoint()
+        store.commit(unit, buckets=[bucket], metrics=metrics)
+        view = graph.merge_degree_view(view, graph.degree_delta(unit))
+    full = graph.merge_degree_view(
+        None, graph.degree_delta(store.read(spark).select("subj", "pred", "obj"))
+    )
+    assert {tuple(r) for r in view.collect()} == {tuple(r) for r in full.collect()}
