@@ -583,14 +583,26 @@ def resolve_sameas(triples: DataFrame, edges: DataFrame) -> DataFrame:
     triple payloads."""
     from kgx.canon import connected_components
 
-    nodes = (
-        triples.select(F.col("subj").alias("surface"))
-        .unionByName(triples.select(F.col("obj").alias("surface")))
+    # the mapping covers ONLY surfaces a sameAs edge touches — surfaces with
+    # no equivalence assertion are their own canonical by definition and are
+    # handled by the coalesce fallback below. This keeps the mapping sized
+    # by the ALIAS population (broadcastable), not the corpus: building it
+    # over every distinct subj/obj would make the rewrite join corpus-sized
+    # for no information gain.
+    touched = (
+        edges.select(F.col("a").alias("surface"))
+        .unionByName(edges.select(F.col("b").alias("surface")))
         .distinct()
     )
-    comp = connected_components(nodes, edges)
+    comp = connected_components(touched, edges)
     rep = comp.groupBy("component").agg(F.min("surface").alias("canon"))
-    mapping = comp.join(rep, "component").select("surface", "canon")
+    # drop identity rows: they only inflate the broadcast, coalesce covers them
+    mapping = (
+        comp.join(rep, "component")
+        .filter(F.col("surface") != F.col("canon"))
+        .select("surface", "canon")
+        .localCheckpoint()  # pin: CC must not re-run per rewrite side
+    )
     sub_m = mapping.withColumnRenamed("surface", "subj").withColumnRenamed(
         "canon", "canon_subj"
     )
@@ -598,12 +610,12 @@ def resolve_sameas(triples: DataFrame, edges: DataFrame) -> DataFrame:
         "canon", "canon_obj"
     )
     return (
-        triples.join(sub_m, "subj")
-        .join(obj_m, "obj")
+        triples.join(sub_m, "subj", "left")
+        .join(obj_m, "obj", "left")
         .select(
-            F.col("canon_subj").alias("subj"),
+            F.coalesce("canon_subj", "subj").alias("subj"),
             "pred",
-            F.col("canon_obj").alias("obj"),
+            F.coalesce("canon_obj", "obj").alias("obj"),
         )
         .distinct()
     )
