@@ -634,7 +634,7 @@ def _driver_canonical_mapping(spark, nodes, known, shingle, threshold):
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 40
+    nodes: DataFrame | None, edges: DataFrame, max_iter: int = 40
 ) -> DataFrame:
     """(surface) x (a,b) -> (surface, component) via driver union-find or
     distributed large-star/small-star contraction.
@@ -642,7 +642,12 @@ def connected_components(
     Only nodes touching an edge enter the CC computation; isolated nodes (the
     vast majority of a mostly-unique corpus) are their own component by
     definition and are appended with a shuffle-free anti-join — so the CC
-    graph is sized by the duplicate population, not the corpus.
+    graph is sized by the duplicate population, not the corpus. Pass
+    ``nodes=None`` when the universe IS the edge endpoints (e.g. sameAs
+    resolution, where untouched surfaces are their own canonical via a
+    coalesce fallback): the isolated append is empty by construction there,
+    and None skips both it and the caller-side endpoint distinct that CC
+    would only re-derive.
 
     Two physical strategies, same semantics:
     - small graphs (entity dictionaries after blocking are typically tiny
@@ -686,6 +691,8 @@ def connected_components(
             .distinct()
         )
         comp = _distributed_cc(touched, edges, max_iter)
+    if nodes is None:
+        return comp
     isolated = (
         nodes.select("surface")
         .distinct()

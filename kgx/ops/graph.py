@@ -168,27 +168,13 @@ def g03_node_degree(spark: SparkSession, sf: str) -> DataFrame:
     build's 2 distinct exchanges + 1 degree exchange, with the map-side
     partial agg compacting the doubled row stream before the shuffle. The
     oracle keeps the textbook outer-join SQL — same values, independent
-    derivation."""
-    t = kg_triples(spark, sf)
-    ends = t.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("subj").alias("node"),
-                    F.lit(1).alias("o"), F.lit(0).alias("i"),
-                ),
-                F.struct(
-                    F.col("obj").alias("node"),
-                    F.lit(0).alias("o"), F.lit(1).alias("i"),
-                ),
-            )
-        ).alias("e")
-    )
-    return (
-        ends.groupBy(F.col("e.node").alias("node"))
-        .agg(F.sum("e.o").alias("out_deg"), F.sum("e.i").alias("in_deg"))
-        .withColumn("deg", F.col("out_deg") + F.col("in_deg"))
-    )
+    derivation.
+
+    The batch query IS the incremental view's base case — one shared
+    explode-indicator implementation (degree_delta), so a fix to the degree
+    formulation can't diverge the batch answer from the maintained view it
+    is pinned against."""
+    return merge_degree_view(None, degree_delta(kg_triples(spark, sf)))
 
 
 G03_SQL = f"""
@@ -588,13 +574,10 @@ def resolve_sameas(triples: DataFrame, edges: DataFrame) -> DataFrame:
     # handled by the coalesce fallback below. This keeps the mapping sized
     # by the ALIAS population (broadcastable), not the corpus: building it
     # over every distinct subj/obj would make the rewrite join corpus-sized
-    # for no information gain.
-    touched = (
-        edges.select(F.col("a").alias("surface"))
-        .unionByName(edges.select(F.col("b").alias("surface")))
-        .distinct()
-    )
-    comp = connected_components(touched, edges)
+    # for no information gain. nodes=None: the universe IS the edge
+    # endpoints here, so CC skips its isolated-node anti-join (empty by
+    # construction) and derives the touched set once internally.
+    comp = connected_components(None, edges)
     rep = comp.groupBy("component").agg(F.min("surface").alias("canon"))
     # drop identity rows: they only inflate the broadcast, coalesce covers them
     mapping = (
@@ -789,7 +772,9 @@ def degree_delta(triples: DataFrame) -> DataFrame:
     )
 
 
-def merge_degree_view(prev: DataFrame | None, delta: DataFrame) -> DataFrame:
+def merge_degree_view(
+    prev: DataFrame | None, delta: DataFrame, pin: bool = True
+) -> DataFrame:
     """Fold one epoch's degree contribution into the maintained view.
 
     Degree is ALGEBRAIC (a sum), so the view is maintainable with one
@@ -800,7 +785,15 @@ def merge_degree_view(prev: DataFrame | None, delta: DataFrame) -> DataFrame:
     the same additive shape Structured Streaming's update-mode agg state
     keeps, expressed storably (write the merged frame per epoch, or keep
     it as the foreachBatch state). Pinned equal to the full recompute by
-    `test_incremental_degree_matches_batch`."""
+    `test_incremental_degree_matches_batch`.
+
+    ``pin`` (default True) localCheckpoints each FOLDED result, matching the
+    module's pagerank/bfs discipline: without it the view's lineage nests one
+    union+agg per epoch and evaluating epoch 50 re-executes all 50 deltas —
+    exactly the O(store) recompute this view exists to avoid. The base case
+    (prev=None) is never pinned so one-shot callers (g03) keep a fully
+    inspectable plan; pass pin=False only when the caller persists the merge
+    itself (e.g. writes the view to the store each epoch)."""
     d = delta.select("node", "out_deg", "in_deg")
     if prev is None:
         merged = d
@@ -814,15 +807,19 @@ def merge_degree_view(prev: DataFrame | None, delta: DataFrame) -> DataFrame:
                 F.sum("in_deg").alias("in_deg"),
             )
         )
+        if pin:
+            merged = merged.localCheckpoint()
     return merged.withColumn("deg", F.col("out_deg") + F.col("in_deg"))
 
 
 # --- g11: SPARQL-style basic-graph-pattern matching ------------------------- #
 def match_bgp(triples: DataFrame, pattern: list[tuple[str, str, str]]) -> DataFrame:
     """SPARQL BGP matcher: ``pattern`` is a conjunction of (subj, pred, obj)
-    triple patterns where ``?name`` terms are variables and anything else is
-    a literal constraint; returns one column per variable and one DISTINCT
-    row per satisfying binding.
+    triple patterns where ``?name`` terms (``?`` + a Python identifier, as in
+    SPARQL's VARNAME) are variables and anything else — including a bare
+    ``?`` or a ``?``-prefixed non-identifier like ``?page=1`` — is a literal
+    constraint; returns one column per variable and one DISTINCT row per
+    satisfying binding.
 
     Compilation, not interpretation: each triple pattern becomes a filtered
     projection of the triple table and patterns fold left-to-right joined on
@@ -837,7 +834,9 @@ def match_bgp(triples: DataFrame, pattern: list[tuple[str, str, str]]) -> DataFr
         raise ValueError("match_bgp: empty pattern")
 
     def is_var(term: str) -> bool:
-        return term.startswith("?")
+        # identifier check: URL-ish literals that happen to start with '?'
+        # ('?page=1', bare '?') must constrain, not silently bind a variable
+        return term.startswith("?") and term[1:].isidentifier()
 
     bound: DataFrame | None = None
     bound_vars: set[str] = set()

@@ -423,6 +423,19 @@ def test_bgp_no_variable_pattern_raises(spark):
         graph.match_bgp(t, [("a", "p", "b")])
 
 
+def test_bgp_question_prefixed_literal_constrains(spark):
+    """A term starting with '?' that is NOT '?'+identifier (URL-ish values,
+    bare '?') is a literal constraint, never a silently-bound variable."""
+    t = _kg(spark, [
+        ("a", "links_to", "?page=1"), ("b", "links_to", "other"),
+        ("c", "links_to", "?"),
+    ])
+    out = graph.match_bgp(t, [("?d", "links_to", "?page=1")])
+    assert [tuple(r) for r in out.collect()] == [("a",)]
+    out2 = graph.match_bgp(t, [("?d", "links_to", "?")])
+    assert [tuple(r) for r in out2.collect()] == [("c",)]
+
+
 def test_bgp_empty_pattern_raises(spark):
     t = _kg(spark, [("a", "p", "b")])
     with pytest.raises(ValueError, match="empty"):
@@ -463,6 +476,29 @@ def test_incremental_degree_matches_batch(spark):
         None, graph.degree_delta(_kg(spark, [r for e in epochs for r in e]))
     )
     assert {tuple(r) for r in view.collect()} == {tuple(r) for r in full.collect()}
+
+
+def test_degree_view_fold_pins_lineage(spark):
+    """Each fold localCheckpoints the merged frame, so evaluating the view
+    after N epochs executes ONE union+agg over the pinned previous view —
+    not N nested unions re-deriving every prior delta (the O(store)
+    recompute the view exists to avoid)."""
+    view = None
+    for i in range(5):
+        rows = [(f"n{i}", "p", f"n{i+1}")]
+        view = graph.merge_degree_view(view, graph.degree_delta(_kg(spark, rows)))
+    plan = view._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Union") <= 1, plan[:2000]
+    assert "ExistingRDD" in plan  # prev side reads the pinned checkpoint
+    # pin=False keeps full lineage (caller persists the merge itself)
+    unpinned = None
+    for i in range(3):
+        rows = [(f"n{i}", "p", f"n{i+1}")]
+        unpinned = graph.merge_degree_view(
+            unpinned, graph.degree_delta(_kg(spark, rows)), pin=False
+        )
+    lazy_plan = unpinned._jdf.queryExecution().analyzed().toString()
+    assert lazy_plan.count("Union") == 2
 
 
 def test_incremental_degree_over_store_units(spark, tmp_path):

@@ -229,12 +229,18 @@ def test_entity_docs_single_agg_exchange(spark):
     """g10 is the shared triple build (2 distinct exchanges) plus exactly ONE
     subj-keyed agg exchange — no global sort, no extra shuffle for the
     per-group property ordering."""
-    import re
-
     from kgx.ops import graph
 
-    plan = _plan(graph.g10_entity_docs(spark, SF))
-    n_ex = len(re.findall(r"\bExchange\b", plan)) - plan.count("ReusedExchange")
+    df = graph.g10_entity_docs(spark, SF)
+    plan = _plan(df)
+    # formatted-mode '(N) Exchange' header count (bench/scaleup_bench._exchanges):
+    # counts distinct Exchange OPERATORS once each and can't miscount around
+    # ReusedExchange the way a substring count minus 'ReusedExchange' could
+    # (\bExchange\b already never matches inside ReusedExchange, so that
+    # subtraction double-discounted reuse and weakened the pin)
+    from bench.scaleup_bench import _exchanges
+
+    n_ex = _exchanges(df)
     assert n_ex <= 3, plan[:1500]
     # the collect happens inside the agg (map-side partial), not via a sort
     assert "collect_list" in plan
