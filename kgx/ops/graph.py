@@ -127,6 +127,15 @@ G01_SQL = f"WITH {_TRIPLES_CTE} SELECT subj, pred, obj FROM triples"
 # --- g02: seeded 2-hop traversal (SPARQL-BGP-style chain) ------------------- #
 N_SEED_SUPPLIERS = 5
 
+# sameAs rewrite: broadcast the canonical mapping only within BOTH budgets
+# (rows AND encoded bytes — a row cap alone admits multi-GB broadcasts of
+# long surfaces); over budget the rewrite falls back to shuffle joins,
+# which stay correct at any mapping size. ~2M rows / 256 MB mirrors the
+# pipeline's proponent-dictionary budget: an alias population past that is
+# no longer "small dim" territory.
+SAMEAS_BROADCAST_MAX_ROWS = 2_000_000
+SAMEAS_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
 
 def g02_two_hop_neighbors(spark: SparkSession, sf: str) -> DataFrame:
     """Customers within two hops of the seed suppliers:
@@ -565,8 +574,11 @@ def resolve_sameas(triples: DataFrame, edges: DataFrame) -> DataFrame:
     driver/large-star CC — sized by the ALIAS population, not the triple
     count), then one node-keyed mapping join per side. At web scale the
     mapping is the same broadcast-dictionary shape as the extraction
-    pipeline's proponent rewrite; only node ids cross the shuffle, never
-    triple payloads."""
+    pipeline's proponent rewrite: within the row+byte budget it broadcasts
+    and the corpus side never shuffles for the rewrite at all (plan = the
+    triple build + one distinct exchange); over budget the joins fall back
+    to hash-partitioned shuffles where only node ids cross, never triple
+    payloads."""
     from kgx.canon import connected_components
 
     # the mapping covers ONLY surfaces a sameAs edge touches — surfaces with
@@ -586,6 +598,25 @@ def resolve_sameas(triples: DataFrame, edges: DataFrame) -> DataFrame:
         .select("surface", "canon")
         .localCheckpoint()  # pin: CC must not re-run per rewrite side
     )
+    # the pinned mapping is an ExistingRDD scan with NO stats, so Catalyst
+    # defaults both rewrite joins to SortMergeJoin — shuffling the CORPUS
+    # side twice (subj, then obj) for an alias-sized dictionary. Broadcast
+    # it under the engine's row+byte budget (the F.broadcast-forces-past-
+    # autoBroadcastJoinThreshold hazard is guarded, same idiom as the
+    # streaming skip probe): within budget the triple side never shuffles
+    # for the rewrite and the plan is build + ONE distinct exchange.
+    from kgx.util import bounded_stats
+
+    stats = bounded_stats(
+        mapping,
+        SAMEAS_BROADCAST_MAX_ROWS,
+        F.octet_length("surface") + F.octet_length("canon"),
+    )
+    if (
+        stats["n"] <= SAMEAS_BROADCAST_MAX_ROWS
+        and stats["nbytes"] <= SAMEAS_BROADCAST_MAX_BYTES
+    ):
+        mapping = F.broadcast(mapping)
     sub_m = mapping.withColumnRenamed("surface", "subj").withColumnRenamed(
         "canon", "canon_subj"
     )

@@ -247,6 +247,34 @@ def test_entity_docs_single_agg_exchange(spark):
     assert "TakeOrderedAndProject" not in plan and "GlobalLimit" not in plan
 
 
+def test_sameas_rewrite_broadcasts_mapping_within_budget(spark):
+    """g08's canonical mapping is alias-sized; within the row+byte budget
+    both rewrite joins must broadcast it — the corpus side never shuffles
+    for the rewrite (the pinned mapping has no stats, so without the
+    explicit guard Catalyst SortMergeJoins and shuffles the triples
+    twice)."""
+    from kgx.ops import graph
+
+    plan = _plan(graph.g08_sameas_resolution(spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2, plan[:1500]
+    assert "SortMergeJoin" not in plan
+
+
+def test_sameas_rewrite_shuffle_fallback_over_budget(spark, monkeypatch):
+    """Over budget the rewrite must fall back to shuffle joins and still
+    produce identical output."""
+    from kgx.ops import graph
+
+    expected = {
+        tuple(r) for r in graph.g08_sameas_resolution(spark, SF).collect()
+    }
+    monkeypatch.setattr(graph, "SAMEAS_BROADCAST_MAX_ROWS", 1)
+    df = graph.g08_sameas_resolution(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" not in plan or "SortMergeJoin" in plan
+    assert {tuple(r) for r in df.collect()} == expected
+
+
 def test_bgp_literals_filter_before_join_and_broadcast(spark):
     """g11's compiled BGP is two BroadcastHashJoins over scan-side-filtered
     projections — the literal constraints (pred equality, the n:1 object)
