@@ -247,6 +247,17 @@ def test_entity_docs_single_agg_exchange(spark):
     assert "TakeOrderedAndProject" not in plan and "GlobalLimit" not in plan
 
 
+def test_triangle_count_single_pass_over_triangles(spark):
+    """g04 walks the triangle set ONCE (explode into members) — the old
+    3-branch union re-executed the wedge join + closing semi-join per
+    branch (13 final-plan exchanges); the explode form is 5."""
+    from bench.scaleup_bench import _exchanges
+    from kgx.ops import graph
+
+    df = graph.g04_triangle_count(spark, SF)
+    assert _exchanges(df) <= 5, _plan(df)[:1500]
+
+
 def test_sameas_rewrite_broadcasts_mapping_within_budget(spark):
     """g08's canonical mapping is alias-sized; within the row+byte budget
     both rewrite joins must broadcast it — the corpus side never shuffles
