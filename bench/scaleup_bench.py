@@ -193,6 +193,7 @@ def main() -> None:
     qs = entry_mod.queries()
     result: dict = {"cpus": cpus, "replicas": REPLICAS, "queries": {}}
     for name in ("q01_pricing_summary", "q16_topk_per_group", "t13_bm25_topk",
+                 "t14_gopher_quality", "t15_unigram_logprob",
                  "s03_ann_lsh", "s04_ann_ivf", "t07_minhash_clusters"):
         row: dict = {}
         for label, sf in (("sf0.1", SRC), ("sf1_synth", synth)):

@@ -598,6 +598,201 @@ WHERE regexp_matches(lower(text), '\\b' || entity || '\\b')
 """
 
 
+# --- Gopher-style composition/repetition quality rules (webtext filtering) ------------ #
+# Thresholds follow the published Gopher rules (Rae et al. 2021, table A1)
+# where the synthetic corpus can exercise them; the keep flag is computed from
+# the ROUNDED metrics in both engines so boundary docs cannot diverge.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_DUP_2GRAM = 0.5
+GOPHER_MIN_STOPWORDS = 2
+
+
+def t14_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-rule document quality filter: word count, mean word length,
+    duplicate-2-gram fraction, distinct-stopword presence, and the composite
+    keep flag — the standard pre-training webtext repetition/composition
+    gate (Rae et al. 2021 §A1; same family C4/RefinedWeb apply).
+
+    Scale shape: a pure per-row JVM map — zero shuffles, zero UDFs; every
+    metric is an array expression over the token split, so the plan is one
+    WholeStageCodegen over the pruned (doc_id, text) scan and survives any
+    corpus size that scans do. The 2-gram walk is transform(sequence(...))
+    guarded for <2-token docs (Spark's sequence(1,0) is DESCENDING [1,0],
+    not empty — the guard is load-bearing). Sum-of-token-lengths folds as a
+    LONG so mean_word_len is an exact-integer division in both engines."""
+    d = load(spark, sf, "documents")
+    t = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    mean_len = F.round(
+        F.aggregate("toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        / F.greatest(n, F.lit(1)),
+        4,
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks)-1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigrams)
+    dup_frac = F.round(
+        F.when(nb > 0, 1.0 - F.size(F.array_distinct(bigrams)) / nb).otherwise(0.0),
+        4,
+    )
+    sw = F.size(F.array_distinct(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS))))
+    m = t.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        dup_frac.alias("dup_2gram_frac"),
+        sw.cast("long").alias("n_stopwords"),
+    )
+    keep = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("dup_2gram_frac") <= GOPHER_MAX_DUP_2GRAM)
+        & (F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS)
+    )
+    return m.select("*", keep.cast("int").alias("keep"))
+
+
+T14_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         ROUND(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+               / greatest(len(toks), 1), 4) AS mean_word_len,
+         ROUND(CASE WHEN len(toks) >= 2 THEN
+             1.0 - len(list_distinct(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])))::DOUBLE
+                 / (len(toks) - 1)
+             ELSE 0.0 END, 4) AS dup_2gram_frac,
+         CAST(len(list_distinct(list_filter(toks, x -> x IN ({_SW_LIT}))))
+              AS BIGINT) AS n_stopwords
+  FROM t
+)
+SELECT *, CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+                AND dup_2gram_frac <= {GOPHER_MAX_DUP_2GRAM}
+                AND n_stopwords >= {GOPHER_MIN_STOPWORDS}
+           THEN 1 ELSE 0 END AS keep
+FROM m
+"""
+
+
+# --- corpus-LM negative log-likelihood (CCNet-style perplexity proxy) ------------------ #
+# row+byte budget for broadcasting the vocabulary frequency table (same
+# guarded-broadcast idiom as graph.SAMEAS_BROADCAST_* / streaming's skip probe)
+FREQ_BROADCAST_MAX_ROWS = 2_000_000
+FREQ_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
+
+def t15_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's own
+    unigram LM — the CCNet/CC-100 perplexity-filter shape (Wenzek et al.
+    2020) with the corpus itself as the LM, so no external model ships.
+
+    Scale shape: one corpus explode feeds a partially-aggregated
+    groupBy(doc_id, tok); the vocabulary frequency table derives from THAT
+    (O(vocab) rows, never re-scanning text) and joins back broadcast when it
+    fits a row+byte budget (real webtext vocabulary after this dedup is
+    ~10^7 rows — over budget it falls back to a shuffle join on tok, where
+    AQE's skew split handles the Zipf head). Determinism: each (doc, tok)
+    contribution is fixed-pointed to integer micro-nats BEFORE the per-doc
+    sum, so the sum is exact integer arithmetic and immune to Spark's
+    partial-aggregation ordering; the only residual cross-engine hazard is a
+    last-ulp ln() difference flipping the micro-nat rounding, the same
+    accepted class as t13's BM25 oracle."""
+    d = load(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    freq = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    total = float(freq.agg(F.sum("cnt")).first()[0])
+    from kgx.util import bounded_stats
+
+    probe = bounded_stats(
+        freq, FREQ_BROADCAST_MAX_ROWS, F.octet_length("tok") + F.lit(8)
+    )
+    if (
+        probe["n"] <= FREQ_BROADCAST_MAX_ROWS
+        and probe["nbytes"] <= FREQ_BROADCAST_MAX_BYTES
+    ):
+        freq = F.broadcast(freq)
+    contrib = F.round(
+        F.col("tf") * F.log(F.col("cnt") / F.lit(total)) * 1_000_000.0, 0
+    ).cast("long")
+    return (
+        tf.join(freq, "tok")
+        .select("doc_id", "tf", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_tokens"), F.sum("c").alias("sc"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(-(F.col("sc") / 1_000_000.0) / F.col("n_tokens"), 4).alias("nll"),
+        )
+    )
+
+
+T15_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+freq AS (SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY tok),
+tot AS (SELECT SUM(cnt)::DOUBLE AS total FROM freq),
+c AS (
+  SELECT doc_id, tf,
+         CAST(ROUND(tf * ln(cnt / tot.total) * 1000000.0, 0) AS BIGINT) AS c
+  FROM tf JOIN freq USING (tok) CROSS JOIN tot
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND(-(SUM(c) / 1000000.0) / SUM(tf), 4) AS nll
+FROM c GROUP BY doc_id
+"""
+
+
+# --- per-source corpus report card with exact percentiles ------------------------------ #
+def t16_source_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus report: doc count, exact mean and exact interpolated
+    p50/p90 of document length — the partition-level health report a corpus
+    curation run emits per crawl/source shard.
+
+    Exact `percentile` (R-7 interpolation, same estimator as DuckDB's
+    quantile_cont — parity probed) buffers each group's values, which is fine
+    for a per-SOURCE rollup (group count = number of crawls, values = one
+    long per doc) but would not be for a per-token key; at 100 TB the drop-in
+    web-scale variant is approx_percentile(n_chars, p, accuracy), the same
+    sketch trade q29 documents for distinct-counting. Mean is SUM/COUNT of
+    integers (exact in both engines), not avg()."""
+    d = load(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n_chars") / F.count(F.lit(1)), 4).alias("mean_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+    )
+
+
+T16_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       ROUND(SUM(n_chars) / COUNT(*), 4) AS mean_chars,
+       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+       ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+FROM documents GROUP BY source
+"""
+
+
 QUERIES = {
     "t01_dedup_exact": (t01_dedup_exact, T01_SQL),
     "t02_token_count": (t02_token_count, T02_SQL),
@@ -612,4 +807,7 @@ QUERIES = {
     "t11_keyword_positions": (t11_keyword_positions, T11_SQL),
     "t12_keyword_pages": (t12_keyword_pages, T12_SQL),
     "t13_bm25_topk": (t13_bm25_topk, T13_SQL),
+    "t14_gopher_quality": (t14_gopher_quality, T14_SQL),
+    "t15_unigram_logprob": (t15_unigram_logprob, T15_SQL),
+    "t16_source_stats": (t16_source_stats, T16_SQL),
 }

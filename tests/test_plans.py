@@ -296,3 +296,45 @@ def test_bgp_literals_filter_before_join_and_broadcast(spark):
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
     assert "n:1" in plan
+
+
+def test_gopher_quality_plan_is_map_only(spark):
+    """t14 is the pure-map webtext gate: all five metrics are array
+    expressions over one token split — zero exchanges, zero UDFs, and only
+    (doc_id, text) reaches the parquet reader."""
+    from bench.scaleup_bench import _exchanges
+    from kgx.ops import textops
+
+    df = textops.t14_gopher_quality(spark, SF)
+    assert _exchanges(df) == 0, _plan(df)[:1500]
+    plan = _plan(df)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan[:800]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unigram_freq_broadcasts_within_budget(spark, monkeypatch):
+    """t15's vocabulary table is O(vocab) and derives from the tf aggregate;
+    within the row+byte budget it must broadcast back onto tf (the corpus
+    side never re-shuffles for the probability join), and over budget the
+    shuffle fallback must produce identical rows."""
+    from kgx.ops import textops
+
+    df = textops.t15_unigram_logprob(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan
+    expected = {tuple(r) for r in df.collect()}
+    monkeypatch.setattr(textops, "FREQ_BROADCAST_MAX_ROWS", 0)
+    df2 = textops.t15_unigram_logprob(spark, SF)
+    assert {tuple(r) for r in df2.collect()} == expected
+
+
+def test_source_stats_single_exchange_and_pruned_scan(spark):
+    """t16 is one partial-aggregated groupBy(source): exactly one exchange,
+    and only (source, n_chars) reaches the scan."""
+    from bench.scaleup_bench import _exchanges
+    from kgx.ops import textops
+
+    df = textops.t16_source_stats(spark, SF)
+    assert _exchanges(df) == 1, _plan(df)[:1500]
+    assert "ReadSchema: struct<source:string,n_chars:bigint>" in _plan(df)

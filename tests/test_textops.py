@@ -130,3 +130,74 @@ def test_gazetteer_punctuation_edge_terms_match_regex(spark):
         pat = re.compile(r"\b" + re.escape(t) + r"\b")
         want = len(pat.findall(text.lower()))
         assert got.get(t, 0) == want, (t, got.get(t, 0), want)
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_gopher_bigram_guard_and_repetition(spark, tmp_path):
+    """The sequence()-bigram walk must survive 0/1-token docs (Spark's
+    sequence(1,0) is DESCENDING, not empty — the guard is load-bearing), and
+    a two-token loop doc must score dup_2gram_frac near 1 and be dropped."""
+    keepable = " ".join(f"word{i:02d}" for i in range(58)) + " the is"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "hello", "en", "s", 5),
+            (2, "", "en", "s", 0),
+            (3, ("spam ham " * 40).strip(), "en", "s", 0),
+            (4, keepable, "en", "s", len(keepable)),
+        ],
+    )
+    got = {r.doc_id: r for r in textops.t14_gopher_quality(spark, sf).collect()}
+    assert got[1].n_words == 1 and got[1].dup_2gram_frac == 0.0 and got[1].keep == 0
+    assert got[2].keep == 0  # empty text never passes the word-count gate
+    # 80 alternating tokens -> 79 bigrams, 2 distinct -> 1 - 2/79
+    assert got[3].dup_2gram_frac == round(1 - 2 / 79, 4) and got[3].keep == 0
+    assert got[4].keep == 1, got[4]
+
+
+def test_unigram_logprob_uniform_and_rarity_order(spark, tmp_path):
+    """A corpus of one repeated token has p=1 everywhere -> nll exactly 0;
+    a doc carrying a rarer token must score a strictly higher nll."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "x x x x", "en", "s", 7),
+            (2, "x x x y", "en", "s", 7),
+        ],
+    )
+    got = {r.doc_id: r for r in textops.t15_unigram_logprob(spark, sf).collect()}
+    assert got[1].n_tokens == 4 and got[2].n_tokens == 4
+    assert got[2].nll > got[1].nll > 0.0
+    uni = _write_docs(spark, tmp_path / "uni", [(1, "x x x", "en", "s", 5)])
+    only = textops.t15_unigram_logprob(spark, uni).collect()[0]
+    assert only.nll == 0.0
+
+
+def test_source_stats_percentiles_match_numpy(spark):
+    """Spark's exact percentile() and the op's mean must agree with numpy's
+    R-7 linear interpolation per source (the estimator the DuckDB oracle's
+    quantile_cont also implements)."""
+    import numpy as np
+    import pandas as pd
+
+    got = {r.source: r for r in textops.t16_source_stats(spark, SF).collect()}
+    pdf = pd.read_parquet(f"{SF}/documents.parquet", columns=["source", "n_chars"])
+    for src, grp in pdf.groupby("source"):
+        v = grp["n_chars"].to_numpy()
+        assert got[src].n_docs == len(v)
+        assert got[src].mean_chars == round(v.sum() / len(v), 4)
+        assert got[src].p50_chars == round(
+            float(np.percentile(v, 50, method="linear")), 4
+        )
+        assert got[src].p90_chars == round(
+            float(np.percentile(v, 90, method="linear")), 4
+        )
