@@ -793,6 +793,70 @@ FROM documents GROUP BY source
 """
 
 
+# --- capstone curation query: Gopher gate + exact dedup + CCNet NLL buckets ------------ #
+# tercile probabilities written as explicit literals so Spark and the SQL
+# oracle interpolate from bit-identical p values
+CCNET_P33 = 0.33333333
+CCNET_P67 = 0.66666667
+
+
+def t17_curated_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end corpus-curation composition a pre-training data run
+    executes: Gopher composition gate (t14) AND exact-dup drop (t01), then
+    CCNet-style head/middle/tail quality buckets over the survivors'
+    corpus-LM NLL (t15) — Wenzek et al. 2020's tercile split, labeled by
+    VALUE against exact percentile cut points rather than ntile().
+
+    Value-based labeling is the deliberate scale choice: ntile(3) needs a
+    single-partition global sort (the one shape that cannot survive 10^12
+    docs) and splits rounded-NLL ties by arbitrary sort position; comparing
+    against two percentile scalars is one aggregate + a broadcastable pair
+    of doubles, and ties land in one bucket deterministically. The exact
+    `percentile` buffers the kept docs' NLL values in one buffer — at 100 TB
+    swap in approx_percentile (the q29/t16 sketch trade) without touching
+    the labeling logic."""
+    gq = t14_gopher_quality(spark, sf).select("doc_id", "n_words", "keep")
+    dup = t01_dedup_exact(spark, sf).select("doc_id", "is_dup")
+    nll = t15_unigram_logprob(spark, sf).select("doc_id", "nll")
+    kept = (
+        gq.join(dup, "doc_id")
+        .join(nll, "doc_id")
+        .filter((F.col("keep") == 1) & (F.col("is_dup") == 0))
+        .select("doc_id", "n_words", "nll")
+    )
+    cuts = kept.agg(
+        F.expr(f"percentile(nll, {CCNET_P33})").alias("p33"),
+        F.expr(f"percentile(nll, {CCNET_P67})").alias("p67"),
+    ).first()
+    bucket = (
+        F.when(F.col("nll") <= float(cuts["p33"]), "head")
+        .when(F.col("nll") <= float(cuts["p67"]), "middle")
+        .otherwise("tail")
+    )
+    return kept.select("doc_id", "n_words", "nll", bucket.alias("bucket"))
+
+
+T17_SQL = f"""
+WITH kept AS (
+  SELECT g.doc_id, g.n_words, n.nll
+  FROM ({T14_SQL}) g
+  JOIN ({T01_SQL}) d USING (doc_id)
+  JOIN ({T15_SQL}) n USING (doc_id)
+  WHERE g.keep = 1 AND d.is_dup = 0
+),
+cuts AS (
+  SELECT quantile_cont(nll, {CCNET_P33}) AS p33,
+         quantile_cont(nll, {CCNET_P67}) AS p67
+  FROM kept
+)
+SELECT doc_id, n_words, nll,
+       CASE WHEN nll <= p33 THEN 'head'
+            WHEN nll <= p67 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM kept CROSS JOIN cuts
+"""
+
+
 QUERIES = {
     "t01_dedup_exact": (t01_dedup_exact, T01_SQL),
     "t02_token_count": (t02_token_count, T02_SQL),
@@ -810,4 +874,5 @@ QUERIES = {
     "t14_gopher_quality": (t14_gopher_quality, T14_SQL),
     "t15_unigram_logprob": (t15_unigram_logprob, T15_SQL),
     "t16_source_stats": (t16_source_stats, T16_SQL),
+    "t17_curated_corpus": (t17_curated_corpus, T17_SQL),
 }

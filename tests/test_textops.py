@@ -201,3 +201,18 @@ def test_source_stats_percentiles_match_numpy(spark):
         assert got[src].p90_chars == round(
             float(np.percentile(v, 90, method="linear")), 4
         )
+
+
+def test_curated_corpus_buckets_and_gates(spark):
+    """t17: every surviving doc passed the Gopher gate and is not an exact
+    dup; tercile buckets are value-consistent (every head nll <= every
+    middle nll <= every tail nll) and all three appear on the fixture."""
+    rows = textops.t17_curated_corpus(spark, SF).collect()
+    keep = {r.doc_id: r.keep for r in textops.t14_gopher_quality(spark, SF).collect()}
+    dup = {r.doc_id: r.is_dup for r in textops.t01_dedup_exact(spark, SF).collect()}
+    assert rows and all(keep[r.doc_id] == 1 and dup[r.doc_id] == 0 for r in rows)
+    by = {}
+    for r in rows:
+        by.setdefault(r.bucket, []).append(r.nll)
+    assert set(by) == {"head", "middle", "tail"}
+    assert max(by["head"]) <= min(by["middle"]) <= max(by["middle"]) <= min(by["tail"])
