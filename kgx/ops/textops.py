@@ -814,7 +814,12 @@ def t17_curated_corpus(spark: SparkSession, sf: str) -> DataFrame:
     of doubles, and ties land in one bucket deterministically. The exact
     `percentile` buffers the kept docs' NLL values in one buffer — at 100 TB
     swap in approx_percentile (the q29/t16 sketch trade) without touching
-    the labeling logic."""
+    the labeling logic.
+
+    The kept frame executes twice (cut-point aggregate, then labeling) —
+    deliberate: both executions are lineage-recoverable recomputes, and a
+    curation RUN (as opposed to this self-contained query) would persist
+    the upstream metrics frame once and derive gate+buckets from it."""
     gq = t14_gopher_quality(spark, sf).select("doc_id", "n_words", "keep")
     dup = t01_dedup_exact(spark, sf).select("doc_id", "is_dup")
     nll = t15_unigram_logprob(spark, sf).select("doc_id", "nll")

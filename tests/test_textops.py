@@ -216,3 +216,47 @@ def test_curated_corpus_buckets_and_gates(spark):
         by.setdefault(r.bucket, []).append(r.nll)
     assert set(by) == {"head", "middle", "tail"}
     assert max(by["head"]) <= min(by["middle"]) <= max(by["middle"]) <= min(by["tail"])
+
+
+def test_gopher_and_nll_match_pure_python_reference(spark, tmp_path):
+    """Engine-portability on RANDOM corpora (the class of check that caught
+    the sequence(1,0) hazard): t14's metrics and t15's NLL recomputed in
+    pure Python must match Spark within the documented rounding slop
+    (metrics are rounded half-up to 4dp; NLL additionally fixed-points each
+    token to 1e-6 nats, so the bound is 5e-5 + n_tokens*5e-7/n_tokens)."""
+    import math
+    import random
+    import re
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)] + ["the", "is", "of"]
+    rows = [(0, "", "en", "s", 0), (1, "solo", "en", "s", 4), (2, "x x x x x", "en", "s", 9)]
+    for i in range(3, 40):
+        n = rng.randint(1, 120)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n)), "en", "s", 0))
+    sf = _write_docs(spark, tmp_path, rows)
+
+    def toks(text):
+        return re.split(r"\s+", text.strip().lower())
+
+    g = {r.doc_id: r for r in textops.t14_gopher_quality(spark, sf).collect()}
+    for doc_id, text, *_ in rows:
+        t = toks(text)
+        assert g[doc_id].n_words == len(t)
+        mean = sum(len(x) for x in t) / max(len(t), 1)
+        assert abs(g[doc_id].mean_word_len - mean) <= 5.1e-5
+        big = [f"{t[i]} {t[i+1]}" for i in range(len(t) - 1)]
+        dup = (1 - len(set(big)) / len(big)) if big else 0.0
+        assert abs(g[doc_id].dup_2gram_frac - dup) <= 5.1e-5
+
+    freq: dict = {}
+    for _, text, *_ in rows:
+        for x in toks(text):
+            freq[x] = freq.get(x, 0) + 1
+    total = sum(freq.values())
+    n = {r.doc_id: r for r in textops.t15_unigram_logprob(spark, sf).collect()}
+    for doc_id, text, *_ in rows:
+        t = toks(text)
+        ref = -sum(math.log(freq[x] / total) for x in t) / len(t)
+        assert n[doc_id].n_tokens == len(t)
+        assert abs(n[doc_id].nll - ref) <= 6e-5, (doc_id, n[doc_id].nll, ref)
