@@ -833,6 +833,10 @@ def t17_curated_corpus(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(f"percentile(nll, {CCNET_P33})").alias("p33"),
         F.expr(f"percentile(nll, {CCNET_P67})").alias("p67"),
     ).first()
+    if cuts["p33"] is None:  # nothing survived the gates: percentile of ∅
+        return kept.select(
+            "doc_id", "n_words", "nll", F.lit("tail").alias("bucket")
+        )
     bucket = (
         F.when(F.col("nll") <= float(cuts["p33"]), "head")
         .when(F.col("nll") <= float(cuts["p67"]), "middle")

@@ -260,3 +260,11 @@ def test_gopher_and_nll_match_pure_python_reference(spark, tmp_path):
         ref = -sum(math.log(freq[x] / total) for x in t) / len(t)
         assert n[doc_id].n_tokens == len(t)
         assert abs(n[doc_id].nll - ref) <= 6e-5, (doc_id, n[doc_id].nll, ref)
+
+
+def test_curated_corpus_empty_survivor_set_is_empty_not_crash(spark, tmp_path):
+    """A corpus where nothing survives the gates must yield ZERO rows (the
+    oracle's shape), not a float(None) crash computing percentiles of the
+    empty kept set."""
+    sf = _write_docs(spark, tmp_path, [(1, "tiny doc", "en", "s", 8)])
+    assert textops.t17_curated_corpus(spark, sf).count() == 0
