@@ -64,15 +64,9 @@ def _setup(n: int, cpus: int):
 
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=2 * cpus,
                       app_name="kgx-ann-bench")
-    # warm workers
-    import pandas as pd
+    from bench import warm_workers
 
-    def _ident(bs):
-        for b in bs:
-            yield pd.DataFrame({"x": b["x"]})
-
-    spark.range(2 * cpus).selectExpr("CAST(id AS STRING) x").repartition(
-        2 * cpus).mapInPandas(_ident, "x string").count()
+    warm_workers(spark, cpus)
     return spark, sf_dir
 
 

@@ -11,7 +11,7 @@ Corpus: generated ENTIRELY JVM-side (no driver loop, no Python UDF) —
 doc text is 50-199 tokens drawn from a 500-word vocabulary by
 xxhash64(gen_id, position), with the top 2% of doc_ids aliased onto earlier
 gen_ids so exact duplicates exist for the t17 dedup gate. Deterministic by
-construction, cached under /tmp keyed by (n, version).
+construction, cached under /tmp keyed by (n, version, parameter hash incl. STOPWORDS).
 
 Usage: python bench/curation_bench.py [cpus] [n_small] [n_big]
 Writes BENCH/curation_result.json and prints one JSON line per measurement.
@@ -31,12 +31,25 @@ VOCAB_N = 500
 DUP_FRAC = 0.02
 
 
+def _corpus_key() -> str:
+    """Cache key covers EVERY parameter the corpus depends on — including
+    STOPWORDS imported from product code, which a textops.py edit would
+    change without anyone thinking to bump this bench's VERSION. A stale
+    cached corpus would silently misrepresent the code under test."""
+    import hashlib
+
+    from kgx.ops.textops import STOPWORDS
+
+    sig = f"{VERSION}|{VOCAB_N}|{DUP_FRAC}|{','.join(STOPWORDS)}"
+    return hashlib.sha256(sig.encode()).hexdigest()[:8]
+
+
 def build_corpus(spark, n: int) -> str:
     from pyspark.sql import functions as F
 
     from kgx.ops.textops import STOPWORDS
 
-    out = f"/tmp/kgx_curation_docs_{n}_v{VERSION}"
+    out = f"/tmp/kgx_curation_docs_{n}_v{VERSION}_{_corpus_key()}"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
@@ -92,41 +105,37 @@ def main() -> None:
         shuffle_partitions=2 * cpus,
         app_name="kgx-curation-bench",
     )
-    # warm worker pool + codegen once (bench.py protocol)
-    import pandas as pd
+    from bench import warm_workers
 
-    def _ident(bs):
-        for b in bs:
-            yield pd.DataFrame({"x": b["x"]})
+    warm_workers(spark, cpus)
 
-    spark.range(2 * cpus).selectExpr("CAST(id AS STRING) x").repartition(
-        2 * cpus
-    ).mapInPandas(_ident, "x string").count()
-
+    ops = (
+        ("t14_gopher_quality", textops.t14_gopher_quality),
+        ("t15_unigram_logprob", textops.t15_unigram_logprob),
+        ("t17_curated_corpus", textops.t17_curated_corpus),
+    )
     result: dict = {"cpus": cpus, "version": VERSION, "sizes": {}}
     for n in (n_small, n_big):
         sf = build_corpus(spark, n)
-        row: dict = {}
-        for name, fn in (
-            ("t14_gopher_quality", textops.t14_gopher_quality),
-            ("t15_unigram_logprob", textops.t15_unigram_logprob),
-            ("t17_curated_corpus", textops.t17_curated_corpus),
-        ):
-            best, rows = None, 0
-            samples = []
-            for _ in range(2):
+        # min-of-INTERLEAVED-passes (bench.py protocol): two full passes
+        # over all operators, per-op min — a contention window spanning a
+        # few minutes inflates at most one pass of each op instead of both
+        # back-to-back samples of the op it lands on
+        row: dict = {
+            name: {"samples": [], "rows": 0} for name, _ in ops
+        }
+        for _ in range(2):
+            for name, fn in ops:
                 t0 = time.perf_counter()
-                rows = fn(spark, sf).count()
-                dt = round(time.perf_counter() - t0, 2)
-                samples.append(dt)
-                best = dt if best is None else min(best, dt)
-            row[name] = {
-                "sec": best,
-                "samples": samples,
-                "rows": rows,
-                "docs_per_sec": round(n / best, 1),
-            }
-            print(json.dumps({f"{name}@{n}": row[name]}))
+                row[name]["rows"] = fn(spark, sf).count()
+                row[name]["samples"].append(
+                    round(time.perf_counter() - t0, 2)
+                )
+        for name, _ in ops:
+            r = row[name]
+            r["sec"] = min(r["samples"])
+            r["docs_per_sec"] = round(n / r["sec"], 1)
+            print(json.dumps({f"{name}@{n}": r}))
         result["sizes"][str(n)] = row
     for name in result["sizes"][str(n_small)]:
         result.setdefault("growth_x", {})[name] = round(

@@ -47,13 +47,9 @@ def main() -> None:
 
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=2 * cpus,
                       app_name="kgx-endurance-bench")
-    # warm the worker pool once (same protocol as bench.py)
-    def _ident(bs):
-        for b in bs:
-            yield pd.DataFrame({"x": b["x"]})
+    from bench import warm_workers
 
-    spark.range(2 * cpus).selectExpr("CAST(id AS STRING) x").repartition(
-        2 * cpus).mapInPandas(_ident, "x string").count()
+    warm_workers(spark, cpus)
 
     pages = fixtures.gen_pages(n_epochs * per)
     work = "/tmp/kgx_endurance_store"

@@ -180,15 +180,9 @@ def main() -> None:
     synth = build_synth()
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=2 * cpus,
                       app_name="kgx-scaleup-bench")
-    # warm the worker pool + codegen once (same protocol as bench.py)
-    import pandas as pd
+    from bench import warm_workers
 
-    def _ident(bs):
-        for b in bs:
-            yield pd.DataFrame({"x": b["x"]})
-
-    spark.range(2 * cpus).selectExpr("CAST(id AS STRING) x").repartition(
-        2 * cpus).mapInPandas(_ident, "x string").count()
+    warm_workers(spark, cpus)
 
     qs = entry_mod.queries()
     result: dict = {"cpus": cpus, "replicas": REPLICAS, "queries": {}}

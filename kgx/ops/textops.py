@@ -23,6 +23,20 @@ def _tokens(col):
     return F.split(F.trim(F.lower(col)), "\\s+")
 
 
+def _once(col):
+    """Force exactly-once evaluation of an interpreted (HOF-bearing)
+    expression: a one-element explode(array(col)) is a Generate node that
+    CollapseProject/PushDownPredicates cannot inline through, so every
+    downstream reference sees a materialized attribute instead of
+    re-evaluating the subtree per reference. Load-bearing: HOFs
+    (transform/aggregate/filter/array_distinct) are CodegenFallback and
+    excluded from codegen CSE — a consumer's pushed-down filter on t14's
+    `keep` cost 27.6 s vs 0.75 s at 10k docs before/after this barrier
+    (PLANS.md "HOF evaluate-once discipline"). Do not "simplify" a
+    `select(_once(x))` back to a plain projection."""
+    return F.explode(F.array(col))
+
+
 # --- exact dedup: hash-groupBy, keep min doc_id ------------------------------ #
 def t01_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
@@ -77,11 +91,11 @@ def t03_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     referenced by both the output column and the lang_pred threshold) —
     measured 1.6x on materialize at 100k docs, identical rows."""
     d = load(spark, sf, "documents")
-    tk = d.select("doc_id", F.explode(F.array(_tokens(F.col("text")))).alias("toks"))
+    tk = d.select("doc_id", _once(_tokens(F.col("text"))).alias("toks"))
     sw = F.size(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS)))
     ratio = F.round(sw / F.greatest(F.size("toks"), F.lit(1)), 4)
     return tk.select(
-        "doc_id", F.explode(F.array(ratio)).alias("stopword_ratio")
+        "doc_id", _once(ratio).alias("stopword_ratio")
     ).select(
         "doc_id",
         "stopword_ratio",
@@ -113,7 +127,7 @@ def t04_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     size() as an attribute instead of being re-inlined per reference."""
     d = load(spark, sf, "documents")
     tk = d.select(
-        "doc_id", "text", F.explode(F.array(_tokens(F.col("text")))).alias("toks")
+        "doc_id", "text", _once(_tokens(F.col("text"))).alias("toks")
     )
     sw_ratio = F.size(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS))) / F.greatest(
         F.size("toks"), F.lit(1)
@@ -652,7 +666,7 @@ def t14_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
     -> 0.75 s, identical rows."""
     d = load(spark, sf, "documents")
     t = d.select(
-        "doc_id", F.explode(F.array(_tokens(F.col("text")))).alias("toks")
+        "doc_id", _once(_tokens(F.col("text"))).alias("toks")
     )
     n = F.size("toks")
     mean_len = F.round(
@@ -675,14 +689,12 @@ def t14_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
     sw = F.size(F.array_distinct(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS))))
     m = t.select(
         "doc_id",
-        F.explode(
-            F.array(
-                F.struct(
-                    n.alias("n_words"),
-                    mean_len.alias("mean_word_len"),
-                    dup_frac.alias("dup_2gram_frac"),
-                    sw.cast("long").alias("n_stopwords"),
-                )
+        _once(
+            F.struct(
+                n.alias("n_words"),
+                mean_len.alias("mean_word_len"),
+                dup_frac.alias("dup_2gram_frac"),
+                sw.cast("long").alias("n_stopwords"),
             )
         ).alias("m"),
     )
