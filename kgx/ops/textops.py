@@ -913,6 +913,86 @@ FROM kept CROSS JOIN cuts
 """
 
 
+# --- benchmark decontamination: n-gram overlap vs an eval set -------------------------- #
+# token n-gram width: published decontamination uses 8-13 grams (GPT-3 App. C,
+# PaLM); 5 here so the small-vocab driver fixture actually exercises overlap
+DECON_GRAM_K = 5
+# deterministic "eval set": every 97th doc stands in for the benchmark corpus
+DECON_EVAL_MOD = 97
+
+
+def t18_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-set decontamination: flag documents sharing any token
+    {DECON_GRAM_K}-gram with a held-out eval set (the GPT-3 appendix-C /
+    PaLM overlap rule). The eval set is carved deterministically from the
+    corpus (doc_id % {DECON_EVAL_MOD} == 0) so the op needs no external
+    data; a real run would substitute the benchmark suite's texts.
+
+    Scale shape: eval-side grams are O(eval corpus) — thousands of
+    benchmark docs, not web-scale — distinct-ed and BROADCAST, so the
+    training-corpus side is one map-side semi-ish pass: explode grams
+    (behind the evaluate-once barrier), broadcast-hash-join, then one
+    groupBy(doc_id) that carries only (doc_id, gram) survivors. The
+    training corpus is never shuffled by gram; the only exchange is the
+    final per-doc count of O(matches) rows. Output: contaminated non-eval
+    docs with their distinct shared-gram count."""
+    d = load(spark, sf, "documents")
+    grams_of = lambda df: df.select(  # noqa: E731 — local plan fragment
+        "doc_id",
+        _once(
+            F.when(
+                F.size(_tokens(F.col("text"))) >= DECON_GRAM_K,
+                F.expr(
+                    "transform(sequence(1, size(split(trim(lower(text)), '\\\\s+'))"
+                    f" - {DECON_GRAM_K - 1}),"
+                    " i -> concat_ws(' ', slice(split(trim(lower(text)), '\\\\s+'),"
+                    f" i, {DECON_GRAM_K})))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("grams"),
+    )
+    ev = (
+        grams_of(d.filter(F.col("doc_id") % DECON_EVAL_MOD == 0))
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train = grams_of(d.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)).select(
+        "doc_id", F.explode(F.array_distinct("grams")).alias("gram")
+    )
+    return (
+        train.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+T18_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {DECON_GRAM_K} THEN
+           list_transform(range(1, len(toks) - {DECON_GRAM_K - 2}),
+                          i -> array_to_string(toks[i:i+{DECON_GRAM_K - 1}], ' '))
+         ELSE [] END AS grams
+  FROM t
+),
+ev AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g
+  WHERE doc_id % {DECON_EVAL_MOD} = 0
+),
+train AS (
+  SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM g
+  WHERE doc_id % {DECON_EVAL_MOD} <> 0
+)
+SELECT doc_id, COUNT(*) AS n_shared_grams
+FROM train JOIN ev USING (gram)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "t01_dedup_exact": (t01_dedup_exact, T01_SQL),
     "t02_token_count": (t02_token_count, T02_SQL),
@@ -931,4 +1011,5 @@ QUERIES = {
     "t15_unigram_logprob": (t15_unigram_logprob, T15_SQL),
     "t16_source_stats": (t16_source_stats, T16_SQL),
     "t17_curated_corpus": (t17_curated_corpus, T17_SQL),
+    "t18_decontaminate": (t18_decontaminate, T18_SQL),
 }

@@ -338,3 +338,17 @@ def test_source_stats_single_exchange_and_pruned_scan(spark):
     df = textops.t16_source_stats(spark, SF)
     assert _exchanges(df) == 1, _plan(df)[:1500]
     assert "ReadSchema: struct<source:string,n_chars:bigint>" in _plan(df)
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """t18: the eval-set gram dictionary broadcasts (benchmark-sized, never
+    web-scale), so the training corpus is one map-side pass — exactly two
+    exchanges total (the eval distinct + the final per-doc count), no
+    SortMergeJoin, and the training side's grams never shuffle."""
+    from bench.scaleup_bench import _exchanges
+    from kgx.ops import textops
+
+    df = textops.t18_decontaminate(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert _exchanges(df) <= 2, plan[:1500]

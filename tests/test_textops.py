@@ -268,3 +268,25 @@ def test_curated_corpus_empty_survivor_set_is_empty_not_crash(spark, tmp_path):
     empty kept set."""
     sf = _write_docs(spark, tmp_path, [(1, "tiny doc", "en", "s", 8)])
     assert textops.t17_curated_corpus(spark, sf).count() == 0
+
+
+def test_decontaminate_flags_exact_gram_overlap_only(spark, tmp_path):
+    """A train doc sharing a full 5-gram with an eval doc (doc_id 0 is in
+    the eval carve-out) is flagged with the right distinct-gram count; a
+    doc sharing only a 4-gram window is NOT; eval docs never appear."""
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    contaminated = "intro alpha beta gamma delta epsilon outro"  # 5-gram hit
+    near_miss = "alpha beta gamma delta X epsilon zeta"  # max 4-gram overlap
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, eval_text, "en", "s", 0),
+            (1, contaminated, "en", "s", 0),
+            (2, near_miss, "en", "s", 0),
+            (3, "totally unrelated words here now", "en", "s", 0),
+        ],
+    )
+    got = {r.doc_id: r.n_shared_grams for r in
+           textops.t18_decontaminate(spark, sf).collect()}
+    assert got == {1: 1}, got
