@@ -37,6 +37,24 @@ def _once(col):
     return F.explode(F.array(col))
 
 
+def _ngrams(toks, k: int):
+    """Token k-gram array over a MATERIALIZED token-array column — pass an
+    attribute (e.g. produced by `_once(_tokens(...))`), never an inline
+    split: inside the interpreted transform lambda an inline split
+    re-tokenizes the whole document once per gram position (O(tokens²)/doc;
+    measured 12x on 20k 150-token docs). Empty for <k tokens, guarded
+    because Spark's sequence(1, n) is DESCENDING for n < 1, not empty.
+    kgx.canon's shingle builders stay separate on purpose: their oracle-
+    pinned semantics differ (whole-string fallback below k, distinct+sort)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
 # --- exact dedup: hash-groupBy, keep min doc_id ------------------------------ #
 def t01_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
@@ -674,13 +692,7 @@ def t14_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
         / F.greatest(n, F.lit(1)),
         4,
     )
-    bigrams = F.when(
-        n >= 2,
-        F.expr(
-            "transform(sequence(1, size(toks)-1),"
-            " i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = _ngrams("toks", 2)
     nb = F.size(bigrams)
     dup_frac = F.round(
         F.when(nb > 0, 1.0 - F.size(F.array_distinct(bigrams)) / nb).otherwise(0.0),
@@ -923,34 +935,28 @@ DECON_EVAL_MOD = 97
 
 def t18_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Training-set decontamination: flag documents sharing any token
-    {DECON_GRAM_K}-gram with a held-out eval set (the GPT-3 appendix-C /
-    PaLM overlap rule). The eval set is carved deterministically from the
-    corpus (doc_id % {DECON_EVAL_MOD} == 0) so the op needs no external
+    5-gram (DECON_GRAM_K) with a held-out eval set — the GPT-3 appendix-C /
+    PaLM overlap rule. The eval set is carved deterministically from the
+    corpus (doc_id % 97 == 0, DECON_EVAL_MOD) so the op needs no external
     data; a real run would substitute the benchmark suite's texts.
 
     Scale shape: eval-side grams are O(eval corpus) — thousands of
     benchmark docs, not web-scale — distinct-ed and BROADCAST, so the
-    training-corpus side is one map-side semi-ish pass: explode grams
-    (behind the evaluate-once barrier), broadcast-hash-join, then one
+    training-corpus side is one map-side semi-ish pass: tokens behind the
+    evaluate-once barrier, the gram walk over the materialized token
+    attribute (_ngrams — an inline split in the lambda would re-tokenize
+    per gram position), explode, broadcast-hash-join, then one
     groupBy(doc_id) that carries only (doc_id, gram) survivors. The
     training corpus is never shuffled by gram; the only exchange is the
     final per-doc count of O(matches) rows. Output: contaminated non-eval
     docs with their distinct shared-gram count."""
     d = load(spark, sf, "documents")
-    grams_of = lambda df: df.select(  # noqa: E731 — local plan fragment
-        "doc_id",
-        _once(
-            F.when(
-                F.size(_tokens(F.col("text"))) >= DECON_GRAM_K,
-                F.expr(
-                    "transform(sequence(1, size(split(trim(lower(text)), '\\\\s+'))"
-                    f" - {DECON_GRAM_K - 1}),"
-                    " i -> concat_ws(' ', slice(split(trim(lower(text)), '\\\\s+'),"
-                    f" i, {DECON_GRAM_K})))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("grams"),
-    )
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", _once(_tokens(F.col("text"))).alias("toks")
+        ).select("doc_id", _ngrams("toks", DECON_GRAM_K).alias("grams"))
+
     ev = (
         grams_of(d.filter(F.col("doc_id") % DECON_EVAL_MOD == 0))
         .select(F.explode("grams").alias("gram"))
