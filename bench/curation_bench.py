@@ -1,8 +1,8 @@
 """Curation-family throughput at web-ish document counts.
 
-Times t14 (Gopher gate), t15 (corpus-LM NLL), and t17 (the full curation
-composition) over a deterministic synthetic `documents` corpus at two sizes
-(default 100k and 1M docs), reporting wall + docs/s per operator and the
+Times t14 (Gopher gate), t15 (corpus-LM NLL), t17 (the full curation
+composition), and t18 (benchmark decontamination) over a deterministic
+synthetic `documents` corpus at two sizes (default 100k and 1M docs), reporting wall + docs/s per operator and the
 size-ratio growth — the scale witness for the round-6 curation family, one
 step beyond the 10x plan-shape sweep (bench/scaleup_bench.py): same plan,
 genuinely corpus-sized inputs.
@@ -113,6 +113,7 @@ def main() -> None:
         ("t14_gopher_quality", textops.t14_gopher_quality),
         ("t15_unigram_logprob", textops.t15_unigram_logprob),
         ("t17_curated_corpus", textops.t17_curated_corpus),
+        ("t18_decontaminate", textops.t18_decontaminate),
     )
     result: dict = {"cpus": cpus, "version": VERSION, "sizes": {}}
     for n in (n_small, n_big):

