@@ -198,16 +198,27 @@ def t06_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
     Blocking keeps the self-join O(sum of block^2) instead of O(n^2); the
     unblocked scale path is t07 (MinHash-LSH).
-    """
+
+    Gram walk via the shared _ngrams over a materialized token attribute
+    (review round 6): the original inline-split lambda re-tokenized the doc
+    3x per gram position, AND its unguarded sequence(0, greatest(n-3, 0))
+    indexed out of bounds for <3-token docs — a job-killing
+    INVALID_ARRAY_INDEX under ANSI mode (Spark 4 default) and a silent
+    NULL-vs-'a b' oracle divergence with ANSI off. <3-token docs now have
+    EMPTY gram sets on both engines and are dropped BEFORE the self-join —
+    they can pair with nothing, and keeping them would make the Jaccard
+    divisor 0/0 (a DIVIDE_BY_ZERO under ANSI). Pinned by a crafted
+    short-doc corpus test asserting exact Spark-vs-DuckDB parity."""
     d = load(spark, sf, "documents")
-    toks = _tokens(F.col("text"))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
-            lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+    g = (
+        d.select(
+            "doc_id", "source", _once(_tokens(F.col("text"))).alias("toks")
         )
+        .select(
+            "doc_id", "source", F.array_distinct(_ngrams("toks", 3)).alias("grams")
+        )
+        .filter(F.size("grams") > 0)
     )
-    g = d.select("doc_id", "source", grams.alias("grams"))
     a = g.select(F.col("doc_id").alias("a"), "source", F.col("grams").alias("ga"))
     b = g.select(F.col("doc_id").alias("b"), "source", F.col("grams").alias("gb"))
     jac = F.size(F.array_intersect("ga", "gb")) / F.size(F.array_union("ga", "gb"))
@@ -223,16 +234,19 @@ def t06_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 T06_SQL = """
 WITH g AS (
   SELECT doc_id, source,
-         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                        for i in range(1, greatest(len(toks) - 3, 0) + 2)]) AS grams
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          for i in range(1, len(toks) - 1)])
+         ELSE [] END AS grams
   FROM (SELECT doc_id, source,
                string_split_regex(trim(lower(text)), '\\s+') AS toks
         FROM documents)
-)
+),
+ng AS (SELECT * FROM g WHERE len(grams) > 0)
 SELECT x.doc_id AS a, y.doc_id AS b,
        ROUND(len(list_intersect(x.grams, y.grams))::DOUBLE
              / len(list_distinct(list_concat(x.grams, y.grams))), 4) AS jaccard
-FROM g x JOIN g y ON x.source = y.source AND x.doc_id < y.doc_id
+FROM ng x JOIN ng y ON x.source = y.source AND x.doc_id < y.doc_id
 WHERE len(list_intersect(x.grams, y.grams))::DOUBLE
       / len(list_distinct(list_concat(x.grams, y.grams))) >= 0.5
 """
@@ -352,13 +366,16 @@ def t08_simhash(spark: SparkSession, sf: str) -> DataFrame:
         f"aggregate(transform(split(t, ''), ch -> bigint(ascii(ch))), "
         f"{_POLY_SEED}L, {step}), {step})"
     )
-    # hs projected in its OWN select: interpreted HOF lambdas get no common-
-    # subexpression elimination, so embedding hs in the per-bit lambda would
-    # recompute the char-level fold 55x per document (CollapseProject keeps
-    # non-cheap multi-referenced aliases in separate projections)
+    # hs behind the _once Generate barrier, NOT merely "its own select":
+    # a single-referenced alias gets inlined by CollapseProject regardless
+    # of cost (the multi-reference cost check does not apply), which put
+    # the char-level fold INSIDE the per-bit lambda — recomputed 55x per
+    # document (caught by a round-6 review reading the optimized plan; the
+    # separate-select comment this replaces described a barrier that did
+    # not survive optimization)
     hs = (
         "transform(array_distinct(split(trim(lower(text)), '\\\\s+')),"
-        f" t -> {tok_hash}) AS hs"
+        f" t -> {tok_hash})"
     )
     sim = (
         "aggregate("
@@ -368,7 +385,9 @@ def t08_simhash(spark: SparkSession, sf: str) -> DataFrame:
         "    THEN shiftleft(1L, b) ELSE 0L END),"
         "  0L, (acc, x) -> acc | x) AS simhash"
     )
-    return d.selectExpr("doc_id", hs).selectExpr("doc_id", sim)
+    return d.select("doc_id", _once(F.expr(hs)).alias("hs")).selectExpr(
+        "doc_id", sim
+    )
 
 
 T08_SQL = f"""
@@ -689,19 +708,22 @@ def t14_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
     synthetic docs: full materialize 3.4 s -> 1.1 s; filter(keep=1) 27.6 s
     -> 0.75 s, identical rows."""
     d = load(spark, sf, "documents")
+    # two chained Generate barriers (one generator per select): toks, then
+    # the bigram array — dup_frac references the bigram subtree three times
+    # (the when-condition's size, the divisor, array_distinct), and each
+    # reference of a non-attribute re-runs the interpreted gram walk
     t = d.select(
         "doc_id", _once(_tokens(F.col("text"))).alias("toks")
-    )
+    ).select("doc_id", "toks", _once(_ngrams("toks", 2)).alias("bg"))
     n = F.size("toks")
     mean_len = F.round(
         F.aggregate("toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
         / F.greatest(n, F.lit(1)),
         4,
     )
-    bigrams = _ngrams("toks", 2)
-    nb = F.size(bigrams)
+    nb = F.size("bg")
     dup_frac = F.round(
-        F.when(nb > 0, 1.0 - F.size(F.array_distinct(bigrams)) / nb).otherwise(0.0),
+        F.when(nb > 0, 1.0 - F.size(F.array_distinct("bg")) / nb).otherwise(0.0),
         4,
     )
     sw = F.size(F.array_distinct(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS))))
@@ -780,15 +802,22 @@ def t15_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     freq = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
-    total = float(freq.agg(F.sum("cnt")).first()[0])
-    from kgx.util import bounded_stats
-
-    probe = bounded_stats(
-        freq, FREQ_BROADCAST_MAX_ROWS, F.octet_length("tok") + F.lit(8)
-    )
+    # ONE stats job serves both the total-token scalar and the broadcast
+    # budget probe (review round 6: a separate bounded_stats probe was a
+    # second full evaluation of the explode+tf+freq pipeline — its limit()
+    # cannot push below the aggregations, so it saved nothing). The final
+    # join below re-derives freq once more; that recompute is deliberate
+    # for a self-contained query (lineage-recoverable, no cache to manage)
+    # — a curation RUN would persist tf/freq across consumers.
+    stats = freq.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length("tok") + F.lit(8)).alias("nbytes"),
+    ).first()
+    total = float(stats["total"])
     if (
-        probe["n"] <= FREQ_BROADCAST_MAX_ROWS
-        and probe["nbytes"] <= FREQ_BROADCAST_MAX_BYTES
+        stats["n"] <= FREQ_BROADCAST_MAX_ROWS
+        and stats["nbytes"] <= FREQ_BROADCAST_MAX_BYTES
     ):
         freq = F.broadcast(freq)
     contrib = F.round(
@@ -937,6 +966,11 @@ FROM kept CROSS JOIN cuts
 DECON_GRAM_K = 5
 # deterministic "eval set": every 97th doc stands in for the benchmark corpus
 DECON_EVAL_MOD = 97
+# row+byte budget for broadcasting the eval gram set: a REAL benchmark suite
+# fits easily, but this op's self-contained eval carve is O(corpus/97), so an
+# unguarded broadcast would grow with the corpus (review round 6)
+EVAL_BROADCAST_MAX_ROWS = 2_000_000
+EVAL_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 
 
 def t18_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
@@ -947,8 +981,11 @@ def t18_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     data; a real run would substitute the benchmark suite's texts.
 
     Scale shape: eval-side grams are O(eval corpus) — thousands of
-    benchmark docs, not web-scale — distinct-ed and BROADCAST, so the
-    training-corpus side is one map-side semi-ish pass: tokens behind the
+    benchmark docs for a real suite — distinct-ed and broadcast under a
+    row+byte budget (the self-contained doc_id%97 carve grows with the
+    corpus, so over budget the join falls back to a shuffle, pinned
+    identical), making the training-corpus side one map-side pass: tokens
+    behind the
     evaluate-once barrier, the gram walk over the materialized token
     attribute (_ngrams — an inline split in the lambda would re-tokenize
     per gram position), explode, broadcast-hash-join, then one
@@ -971,8 +1008,18 @@ def t18_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     train = grams_of(d.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)).select(
         "doc_id", F.explode(F.array_distinct("grams")).alias("gram")
     )
+    from kgx.util import bounded_stats
+
+    probe = bounded_stats(
+        ev, EVAL_BROADCAST_MAX_ROWS, F.octet_length("gram") + F.lit(16)
+    )
+    if (
+        probe["n"] <= EVAL_BROADCAST_MAX_ROWS
+        and probe["nbytes"] <= EVAL_BROADCAST_MAX_BYTES
+    ):
+        ev = F.broadcast(ev)
     return (
-        train.join(F.broadcast(ev), "gram")
+        train.join(ev, "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )

@@ -352,3 +352,17 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     assert _exchanges(df) <= 2, plan[:1500]
+
+
+def test_simhash_char_fold_behind_generate_barrier(spark):
+    """t08's per-token hash array must be a materialized ATTRIBUTE in the
+    optimized plan (the per-bit lambda folds `aggregate(hs#N, ...)`) — a
+    single-referenced alias gets inlined by CollapseProject regardless of
+    cost, which put the char fold inside the 55-bit loop (55x/doc)."""
+    import re
+
+    from kgx.ops import textops
+
+    df = textops.t08_simhash(spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert re.search(r"aggregate\(lambdavariable|aggregate\(hs#\d+", plan), plan[:1200]

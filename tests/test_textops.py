@@ -290,3 +290,40 @@ def test_decontaminate_flags_exact_gram_overlap_only(spark, tmp_path):
     got = {r.doc_id: r.n_shared_grams for r in
            textops.t18_decontaminate(spark, sf).collect()}
     assert got == {1: 1}, got
+
+
+def test_ngram_jaccard_short_docs_no_crash_and_oracle_parity(spark, tmp_path):
+    """<3-token docs must have EMPTY gram sets: no INVALID_ARRAY_INDEX
+    under ANSI mode, no pairs from NULL-gram artifacts, and exact parity
+    with T06_SQL on the same crafted corpus (two identical 2-token docs
+    diverged silently before the guard: Spark paired them, DuckDB not)."""
+    import duckdb
+
+    rows = [
+        (1, "", "en", "s", 0),
+        (2, "one", "en", "s", 3),
+        (3, "two words", "en", "s", 9),
+        (4, "two words", "en", "s", 9),
+        (5, "alpha beta gamma delta", "en", "s", 0),
+        (6, "alpha beta gamma zeta", "en", "s", 0),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {(r.a, r.b, r.jaccard) for r in
+           textops.t06_ngram_jaccard_pairs(spark, sf).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(textops.T06_SQL).fetchall()}
+    assert got == want, (got, want)
+    assert all(a not in (1, 2, 3, 4) and b not in (1, 2, 3, 4) for a, b, _ in got)
+
+
+def test_decontaminate_shuffle_fallback_identical(spark, monkeypatch):
+    """Over the eval-gram broadcast budget t18 falls back to a shuffle join
+    with identical rows."""
+    expected = {tuple(r) for r in textops.t18_decontaminate(spark, SF).collect()}
+    monkeypatch.setattr(textops, "EVAL_BROADCAST_MAX_ROWS", 0)
+    got = {tuple(r) for r in textops.t18_decontaminate(spark, SF).collect()}
+    assert got == expected
