@@ -209,3 +209,30 @@ def test_driver_and_distributed_cc_agree(spark, seed):
         return {frozenset(v) for v in by_comp.values()}
 
     assert grouping(g1) == grouping(g2)
+
+
+def test_token_shingles_jvm_parity(spark):
+    """token_shingle_col is the JVM reference expression for the token-gram
+    mode the numpy signature path implements (_py_grams_of_norm): pin the
+    two against each other, including the <k-token whole-string fallback
+    and the empty string."""
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "two words",
+        "one",
+        "",
+        "  Spaced   Out  tokens, here! ",
+    ]
+    df = spark.createDataFrame([(s,) for s in texts], "t string")
+    got = {
+        r.t: list(r.sh)
+        for r in df.select(
+            "t",
+            canon.token_shingle_col(canon.normalize_col(F.col("t"))).alias("sh"),
+        ).collect()
+    }
+    for s in texts:
+        norm = kernel.normalize_surface(s)
+        py = canon._py_grams_of_norm(norm, "token")
+        expected = py if len(norm.split()) < 3 else sorted(set(py))
+        assert got[s] == expected, (s, got[s], expected)
