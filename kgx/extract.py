@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pyspark.sql.types import ArrayType
@@ -143,11 +143,7 @@ def extract_facts_fused(pages: DataFrame) -> DataFrame:
     return slim.mapInArrow(_fused_arrow_batches, schema=FACTS)
 
 
-def methodology_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([(c,) for c in METHODOLOGY_CODES], "code string")
-
-
-def validate_methodologies(facts: DataFrame, dim: DataFrame | None = None) -> DataFrame:
+def validate_methodologies(facts: DataFrame) -> DataFrame:
     """Validate code mentions against the CDM-style dimension.
 
     The dimension is tiny and static, so the validation is a broadcast-literal
