@@ -5,8 +5,10 @@ with a deterministic, schema-guided extractor running inside Arrow-batched
 mapInPandas — the batched-inference seam where a real model would slot in
 (load once per worker, score a batch at a time).
 
-Methodology codes are validated with a broadcast LEFT SEMI join against the
-CDM-style dimension (ground_truth_project_detail_formatter.py:110,178-179);
+Methodology codes are validated against the CDM-style dimension
+(ground_truth_project_detail_formatter.py:110,178-179) via a
+broadcast-literal array_intersect (see validate_methodologies for why the
+earlier LEFT SEMI join shape was retired);
 proponent surfaces are emitted as a side channel for canonicalization; the
 structured-output JSON Schemas of initial_pipeline/section/*.py become
 from_json StructTypes + required-field constraint checks in validate_triples.
