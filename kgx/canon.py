@@ -28,12 +28,20 @@ scale path mandated by BASELINE.json:north_rule:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 N_HASHES = 64
 N_BANDS = 32  # r = 2 rows per band
 JACCARD_THRESHOLD = 0.4
+
+# sig/shingle payload tables under these budgets ship to the candidate
+# gate/verify joins as broadcast hash relations (pair stream never shuffles);
+# above them the joins fall back to shuffles. Sized like the other forced
+# broadcasts in this engine (well under the 8 GB relation cap, small multiple
+# of executor task memory).
+BROADCAST_PAYLOAD_MAX_ROWS = 2_000_000
+BROADCAST_PAYLOAD_MAX_BYTES = 256 * 1024 * 1024
 
 
 def banding_recall(j: float, n_bands: int, rows_per_band: int) -> float:
@@ -382,11 +390,14 @@ def dedup_clusters(
     The corpus-scale variant of canonical_mapping, keyed by document id:
 
     1. one Arrow pass computes (id, sha256(text), shingle ids, MinHash sig) —
-       the document text NEVER enters a shuffle, a join key, or a driver
-       collect (the round-1 t07 carried full text through all three);
-    2. exact-duplicate prepass groups by content hash and keeps one
-       representative per distinct text, so boilerplate dup-groups can't blow
-       an LSH band bucket past ``bucket_cap``;
+       the document text NEVER enters a keyed shuffle, a join key, or a
+       driver collect (the round-1 t07 carried full text through all three);
+       the only text movement is the round-robin ``spread`` guard in front of
+       the pass, which fires only for under-split sources (one-row-group
+       parquet) and is a no-op on well-split 100 TB inputs;
+    2. exact-duplicate prepass keys rows by content hash (one h-window) and
+       keeps one representative per distinct text, so boilerplate dup-groups
+       can't blow an LSH band bucket past ``bucket_cap``;
     3. LSH banding + exact-Jaccard verification over representatives only,
        carrying the id string through the band shuffle;
     4. connected components over ids (driver union-find under the row+byte
@@ -420,37 +431,44 @@ def dedup_clusters(
     engine avoids); verified edges are slim (a, b) rows and ARE pinned so the
     count and connected components read one execution.
     """
+    from kgx.util import bounded_stats, spread
+
     keyed = docs.select(
         F.col(id_col).cast("string").alias("surface"), F.col(text_col).alias("_text")
     )
-    # checkpoint: the erep aggregate and the join-back are separate plan
-    # branches that would each re-run the signature UDF over the corpus —
-    # the one genuinely O(corpus-bytes) compute here
-    surf = keyed.mapInArrow(
+    # parquet scans split only at row-group boundaries, so a one-row-group
+    # corpus file would feed the signature pass near-serially; one narrow
+    # (id, text) shuffle buys full width for the one genuinely
+    # O(corpus-bytes) compute here (no-op for well-split 100 TB inputs).
+    # Exact-dup prepass: min id per distinct content hash via ONE h-keyed
+    # window over the signature rows (round-7: replaces a groupBy +
+    # equi-join + semi-join chain — three shuffles and two extra
+    # checkpoints deriving the same columns). The single checkpoint pins the
+    # one wide corpus copy that both consumers (members at the end, reps
+    # through LSH) read; the un-checkpointed surf has exactly one consumer,
+    # so the signature UDF still runs once.
+    surf = spread(keyed).mapInArrow(
         _keyed_sig_gen(shingle, shingle_k), schema=_KEYED_SCHEMA
-    ).localCheckpoint()
-    # exact-dup prepass: min id per distinct content hash, from the NARROW
-    # (h, id) projection only (checkpointed: members and reps both read it).
-    erep = (
-        surf.select("surface", "h")
-        .groupBy("h")
-        .agg(F.min("surface").alias("erep"))
-        .localCheckpoint()
     )
-    members = surf.select("surface", "h").join(erep, "h").select("surface", "erep")
-    # representatives keep their wide signature rows via a semi join — the only
-    # corpus-width shuffle; checkpointed because candidate_pairs reads reps
-    # three times (band explode, sig-gate join, shingle-set join-back). Wide
-    # copies total surf + reps (reps <= distinct texts), never two full-corpus
-    # copies.
-    reps = (
-        surf.join(
-            erep.select("h", F.col("erep").alias("surface")),
-            ["h", "surface"],
-            "left_semi",
-        )
-        .select("surface", "sh_hash", "sig")
-        .localCheckpoint()
+    wh = Window.partitionBy("h")
+    surf2 = surf.withColumn("erep", F.min("surface").over(wh)).localCheckpoint()
+    members = surf2.select("surface", "erep")
+    reps = surf2.filter(F.col("surface") == F.col("erep")).select(
+        "surface", "sh_hash", "sig"
+    )
+    # payload-join regime probe (executor-side, over the checkpointed rows):
+    # reps within a row+byte budget ship their sig/shingle arrays to the
+    # candidate checks as broadcast hash relations — the (a,b) pair stream
+    # then never shuffles at all; over budget falls back to the shuffled
+    # joins (identical rows either way).
+    stats = bounded_stats(
+        reps,
+        BROADCAST_PAYLOAD_MAX_ROWS,
+        F.octet_length("surface") + 8 * (F.size("sh_hash") + F.size("sig")),
+    )
+    broadcast_payloads = (
+        stats["n"] <= BROADCAST_PAYLOAD_MAX_ROWS
+        and stats["nbytes"] <= BROADCAST_PAYLOAD_MAX_BYTES
     )
     cand = candidate_pairs(
         reps,
@@ -459,6 +477,7 @@ def dedup_clusters(
         # 4 sigma under the exact-verify threshold: weak candidates die on
         # the 512B sigs, true pairs reach the exact check
         est_gate=max(0.0, threshold - 0.25),
+        broadcast_payloads=broadcast_payloads,
     )
     edges = verified_edges(cand, threshold=threshold)
     if metrics is not None:
@@ -466,10 +485,20 @@ def dedup_clusters(
         metrics["candidate_pairs"] = cand.select("a", "b").count()
         edges = edges.localCheckpoint()
         metrics["verified_pairs"] = edges.count()
-    comp = connected_components(reps.select("surface"), edges)
+    # CC runs over edge endpoints only; docs whose rep never touched an edge
+    # are their own singleton component ('s:' namespace) via the coalesce
+    # fallback — the touched mapping joins back to members directly (round-7:
+    # replaces materializing a full per-rep component frame through a
+    # distinct + anti-join + union + corpus-wide inner join).
+    comp = connected_components(None, edges)
     return members.join(
-        comp.withColumnRenamed("surface", "erep"), "erep"
-    ).select(F.col("surface").alias(id_col), "component")
+        comp.select(F.col("surface").alias("erep"), F.col("component").alias("_c")),
+        "erep",
+        "left",
+    ).select(
+        F.col("surface").alias(id_col),
+        F.coalesce("_c", F.concat(F.lit("s:"), F.col("erep"))).alias("component"),
+    )
 
 
 def candidate_pairs(
@@ -477,6 +506,7 @@ def candidate_pairs(
     bucket_cap: int | None = None,
     n_bands: int = N_BANDS,
     est_gate: float | None = None,
+    broadcast_payloads: bool = False,
 ) -> DataFrame:
     """LSH banding self-join -> distinct candidate (a, b) pairs, a < b.
 
@@ -496,7 +526,12 @@ def candidate_pairs(
       the 512-byte sigs instead of multi-KB shingle sets cuts the widest
       shuffle ~7x. Set the gate >= 3-4 sigma under the verify threshold so
       true pairs pass with certainty-in-practice (deterministic given sigs,
-      so oracle parity is checkable, not probabilistic).
+      so oracle parity is checkable, not probabilistic);
+    - ``broadcast_payloads``: the caller's promise (budget-probed in
+      dedup_clusters) that the sig/shingle payload table fits executor
+      memory as a broadcast hash relation — the pair stream then never
+      shuffles through the gate/verify joins. False keeps the shuffled
+      joins; output rows identical either way.
     """
     r = N_HASHES // n_bands
     bands = surf.select(
@@ -526,8 +561,15 @@ def candidate_pairs(
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
+    def _maybe_bc(df):
+        return F.broadcast(df) if broadcast_payloads else df
+
     if est_gate is not None and est_gate > 0.0:
         sigs = surf.select("surface", "sig")
+        # the aggregate/zip_with agreement sum stays: a 64-term chain of
+        # element_at equality adds was tried in round 7 and measured ~1.7x
+        # SLOWER end to end (the giant Add tree defeats codegen), so the
+        # interpreted HOF is the faster form here
         est = F.aggregate(
             F.zip_with("sig_a", "sig_b",
                        lambda x, y: F.when(x == y, 1).otherwise(0)),
@@ -535,19 +577,19 @@ def candidate_pairs(
             lambda acc, v: acc + v,
         ) / F.lit(N_HASHES)
         pairs = (
-            pairs.join(sigs.select(F.col("surface").alias("a"),
-                                   F.col("sig").alias("sig_a")), "a")
-            .join(sigs.select(F.col("surface").alias("b"),
-                              F.col("sig").alias("sig_b")), "b")
+            pairs.join(_maybe_bc(sigs.select(F.col("surface").alias("a"),
+                                             F.col("sig").alias("sig_a"))), "a")
+            .join(_maybe_bc(sigs.select(F.col("surface").alias("b"),
+                                        F.col("sig").alias("sig_b"))), "b")
             .filter(est >= est_gate)
             .select("a", "b")
         )
     sets = surf.select("surface", "sh_hash")
     return (
-        pairs.join(sets.select(F.col("surface").alias("a"),
-                               F.col("sh_hash").alias("sh_a")), "a")
-        .join(sets.select(F.col("surface").alias("b"),
-                          F.col("sh_hash").alias("sh_b")), "b")
+        pairs.join(_maybe_bc(sets.select(F.col("surface").alias("a"),
+                                         F.col("sh_hash").alias("sh_a"))), "a")
+        .join(_maybe_bc(sets.select(F.col("surface").alias("b"),
+                                    F.col("sh_hash").alias("sh_b"))), "b")
     )
 
 
@@ -641,13 +683,13 @@ def connected_components(
 
     Only nodes touching an edge enter the CC computation; isolated nodes (the
     vast majority of a mostly-unique corpus) are their own component by
-    definition and are appended with a shuffle-free anti-join — so the CC
-    graph is sized by the duplicate population, not the corpus. Pass
-    ``nodes=None`` when the universe IS the edge endpoints (e.g. sameAs
-    resolution, where untouched surfaces are their own canonical via a
-    coalesce fallback): the isolated append is empty by construction there,
-    and None skips both it and the caller-side endpoint distinct that CC
-    would only re-derive.
+    definition and get their 's:'+surface label through a left join +
+    coalesce fallback — so the CC graph is sized by the duplicate
+    population, not the corpus. Edge endpoints must be a subset of ``nodes``
+    (true for every in-repo caller; endpoints outside ``nodes`` are not
+    emitted). Pass ``nodes=None`` to get the TOUCHED mapping only (e.g.
+    sameAs resolution, or dedup_clusters' member join, which apply the same
+    coalesce fallback themselves): None skips the node distinct entirely.
 
     Two physical strategies, same semantics:
     - small graphs (entity dictionaries after blocking are typically tiny
@@ -693,16 +735,25 @@ def connected_components(
         comp = _distributed_cc(touched, edges, max_iter)
     if nodes is None:
         return comp
-    isolated = (
+    # 's:' namespace (see _driver_cc): never collides with 'h:'+hash labels,
+    # and 's:'+isolated never equals 's:'+driver-label because isolated and
+    # touched surfaces are disjoint (the left join misses only untouched
+    # nodes). Round-7: one left join + coalesce replaces the anti-join +
+    # union — one exchange fewer, identical rows for every in-repo caller
+    # (their edge endpoints are always a subset of ``nodes``; endpoints
+    # outside ``nodes`` would be dropped here where the union kept them,
+    # which is the documented contract now).
+    return (
         nodes.select("surface")
         .distinct()
-        .join(comp.select("surface"), "surface", "left_anti")
-        # 's:' namespace (see _driver_cc): never collides with 'h:'+hash
-        # labels, and 's:'+isolated never equals 's:'+driver-label because
-        # isolated and touched surfaces are disjoint by the anti-join
-        .select("surface", F.concat(F.lit("s:"), F.col("surface")).alias("component"))
+        .join(comp.withColumnRenamed("component", "_c"), "surface", "left")
+        .select(
+            "surface",
+            F.coalesce(
+                "_c", F.concat(F.lit("s:"), F.col("surface"))
+            ).alias("component"),
+        )
     )
-    return comp.unionByName(isolated)
 
 
 def _driver_cc_from_rows(spark, edge_rows, extra_surfaces=()) -> DataFrame:

@@ -283,20 +283,24 @@ def t07_minhash_clusters(spark: SparkSession, sf: str) -> DataFrame:
         d, id_col="doc_id", text_col="text", shingle="token",
         bucket_cap=1000, n_bands=32,
     )
-    wc = Window.partitionBy("component")
-    keyed = comp.withColumn(
-        "rep_id",
-        F.min(F.col("doc_id").cast("long")).over(
-            wc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ),
-    ).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.md5(F.col("rep_id").cast("string")).alias("cluster_key"),
+    # ONE window pass: cluster_key = md5(min doc_id over the component) is
+    # injective over components (each doc lives in exactly one component, so
+    # distinct components have distinct min ids; md5 of distinct 64-bit
+    # inputs never collides in practice and the oracle would merge on the
+    # same md5 values if it ever did), hence count over cluster_key == count
+    # over component — both aggregates share the single component-keyed
+    # exchange instead of re-shuffling by the derived key (round-7: was two
+    # windows / two exchanges).
+    wc = Window.partitionBy("component").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    wk = Window.partitionBy("cluster_key")
-    return keyed.withColumn(
-        "cluster_size", F.count("*").over(wk)
-    ).select("doc_id", "cluster_key", "cluster_size")
+    return comp.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(
+            F.min(F.col("doc_id").cast("long")).over(wc).cast("string")
+        ).alias("cluster_key"),
+        F.count("*").over(wc).alias("cluster_size"),
+    )
 
 
 from kgx.canon import JACCARD_THRESHOLD as _J_THRESH  # noqa: E402

@@ -56,8 +56,25 @@ def get_spark(
         # tasks per stage; with many small stages that overhead scales WITH
         # cores and inverted our 8->32 speedup. Size-based coalescing instead.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+        # Post-shuffle partition target (round 7): at 32m a typical mid-size
+        # exchange here (tens of MB — band rows, window inputs) coalesced to
+        # 1-2 partitions and the whole downstream stage ran on 1-2 of 32
+        # cores; 8m keeps those stages wide while still coalescing KB-sized
+        # shuffles to a handful of tasks. Scale-dependent, so env-tunable:
+        # on a real cluster set KGX_ADVISORY_PARTITION_SIZE=256m — with
+        # TB-sized exchanges the guide's 100MB-1GB partition guidance wins
+        # and the local default would produce block-count bloat (see
+        # OPTIMIZATION_r07.md for the measured local sweep).
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("KGX_ADVISORY_PARTITION_SIZE", "8m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Prefer shuffled-hash over sort-merge when the planner can size the
+        # build side (round 7: measured faster on every probe-side-heavy
+        # equi-join in the bench — no sort of the big side; graceful because
+        # AQE skew handling still applies and build sides here are bounded).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # large html blobs: keep Arrow batches bounded (SURVEY.md §2.11)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
