@@ -143,9 +143,18 @@ FROM y95 FULL OUTER JOIN y96 ON y95.o_custkey = y96.o_custkey
 # --- §2.3 composite-key inner join ------------------------------------------- #
 def q07_composite_join(spark: SparkSession, sf: str) -> DataFrame:
     li, o = load(spark, sf, "lineitem"), load(spark, sf, "orders")
+    # Round 7: the year filter is applied before the join (Catalyst pushed it
+    # down anyway) and the filtered two-column orders slice is broadcast —
+    # the planner kept a sort-merge join that shuffled all of lineitem to
+    # attach a dimension slice a fraction its size (guide §3.1: hint when
+    # you know the side is small; one year of (key, priority) pairs stays
+    # megabytes at bench scales). Dropping the hint degrades to the shuffled
+    # join, never to an error.
+    o96 = o.filter(F.year("o_orderdate") == 1996).select(
+        "o_orderkey", "o_orderpriority"
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(F.year("o_orderdate") == 1996)
+        li.join(F.broadcast(o96), li.l_orderkey == o96.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
@@ -356,8 +365,16 @@ def q16_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
+    # Round 7: the partial WindowGroupLimit (top-3 pre-filter) and its sort
+    # run INSIDE the scan tasks, and a row-group-bound parquet pins those to
+    # a couple of cores; an explicit hash repartition on the window key
+    # moves the whole sort above the exchange (the window reuses the
+    # partitioning, so there is still exactly one exchange) and the scan
+    # tasks do nothing but project and write shuffle blocks.
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .repartition("o_custkey")
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "rn", F.round("o_totalprice", 2).alias("price"))
     )

@@ -232,6 +232,8 @@ def s03_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     embedding corpora with near-dup structure prune hard at the same
     geometry); recall vs s01 is asserted in tests.
     """
+    import numpy as np
+
     q, c = _split(spark, sf)
     qb = q.select(
         "query_id", F.posexplode(_rh_bands_udf("qv")).alias("band_id", "band_sig")
@@ -239,15 +241,33 @@ def s03_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     cb = c.select(
         "cand_id", F.posexplode(_rh_bands_udf("cv")).alias("band_id", "band_sig")
     )
+    # Round 7: the query band rows are O(queries x bands) — broadcast them so
+    # the corpus band stream never shuffles for the blocking join.
     cand = (
-        qb.join(cb, ["band_id", "band_sig"])
+        F.broadcast(qb).join(cb, ["band_id", "band_sig"])
         .select("query_id", "cand_id")
         .dropDuplicates(["query_id", "cand_id"])
     )
-    scored = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(c.select("cand_id", "cv"), "cand_id")
-        .withColumn("cos", _cos_np_udf("qv", "cv"))
+    # Round 7: the O(queries) matrix rides the UDF closure (the s01 shape) —
+    # the re-rank joins back only the CANDIDATE vector and gathers the query
+    # row by id inside the batch, instead of also shuffling a qv array per
+    # surviving pair. Same arithmetic per pair as _cos_np_udf (stack, dot,
+    # norm product, half-away-from-zero round), so scores are bit-identical.
+    qrows = sorted(q.collect(), key=lambda r: r.query_id)
+    Q = np.stack([np.asarray(r.qv, dtype=np.float64) for r in qrows])
+    qindex = {int(r.query_id): i for i, r in enumerate(qrows)}
+
+    @F.pandas_udf(T.DoubleType())
+    def _cos_vs_query(qid: pd.Series, cv: pd.Series) -> pd.Series:
+        B = np.stack(cv.to_numpy())
+        A = Q[[qindex[int(x)] for x in qid]]
+        num = (A * B).sum(axis=1)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        r = num / den
+        return pd.Series(np.sign(r) * np.floor(np.abs(r) * 1e6 + 0.5) / 1e6)
+
+    scored = cand.join(c.select("cand_id", "cv"), "cand_id").withColumn(
+        "cos", _cos_vs_query("query_id", "cv")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (

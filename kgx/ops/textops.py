@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kgx.ops import load
+from kgx.util import spread
 
 # small English stopword list shared verbatim with the SQL oracles
 STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
@@ -115,7 +116,11 @@ def t03_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     referenced by both the output column and the lang_pred threshold) —
     measured 1.6x on materialize at 100k docs, identical rows."""
     d = load(spark, sf, "documents")
-    tk = d.select("doc_id", _once(_tokens(F.col("text"))).alias("toks"))
+    # spread (round 7): the interpreted stopword filter is the whole cost
+    # here and a one-row-group parquet would run it on one core
+    tk = spread(d.select("doc_id", "text")).select(
+        "doc_id", _once(_tokens(F.col("text"))).alias("toks")
+    )
     sw = F.size(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS)))
     ratio = F.round(sw / F.greatest(F.size("toks"), F.lit(1)), 4)
     return tk.select(
@@ -150,7 +155,8 @@ def t04_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     explode barrier, so the token split feeds the stopword filter and the
     size() as an attribute instead of being re-inlined per reference."""
     d = load(spark, sf, "documents")
-    tk = d.select(
+    # spread (round 7): same rationale as t03 — HOF work should arrive wide
+    tk = spread(d.select("doc_id", "text")).select(
         "doc_id", "text", _once(_tokens(F.col("text"))).alias("toks")
     )
     sw_ratio = F.size(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS))) / F.greatest(
