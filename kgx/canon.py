@@ -292,9 +292,15 @@ def _token_gram_hashes(norm: str, k: int, memo: dict):
     return np.unique(_splitmix64(h))
 
 
-def _keyed_sig_gen(shingle: str, k: int = 3):
+def _keyed_sig_gen(shingle: str, k: int = 3, counters=None):
     """mapInArrow generator for id-keyed corpora:
     (surface=id, _text) -> (surface, h=sha256(text), sh_hash, sig).
+
+    ``counters``: optional (row_acc, byte_acc) Spark accumulators filled with
+    the emitted row count and payload bytes (id + hash arrays) — the
+    broadcast-payload budget probe rides the signature job itself instead of
+    costing a separate bounded_stats action (round 7). Task retries can only
+    OVER-count, which fails toward the shuffle fallback — safe.
 
     The text itself never leaves the Arrow batch — only the id, a 64-char
     content hash, and fixed-width hash arrays, so no downstream shuffle or
@@ -365,6 +371,12 @@ def _keyed_sig_gen(shingle: str, k: int = 3):
                     pa.array(sig_offs),
                     pa.array(sig_flat.reshape(-1).view(np.int64)),
                 )
+                if counters is not None:
+                    counters[0].add(n)
+                    counters[1].add(
+                        sum(len(key.encode()) for key in keys)
+                        + 8 * (int(len(flat)) + n * N_HASHES)
+                    )
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(keys, pa.string()), pa.array(hs, pa.string()),
                      sh_arr, sig_arr],
@@ -431,7 +443,7 @@ def dedup_clusters(
     engine avoids); verified edges are slim (a, b) rows and ARE pinned so the
     count and connected components read one execution.
     """
-    from kgx.util import bounded_stats, spread
+    from kgx.util import spread
 
     keyed = docs.select(
         F.col(id_col).cast("string").alias("surface"), F.col(text_col).alias("_text")
@@ -447,8 +459,11 @@ def dedup_clusters(
     # one wide corpus copy that both consumers (members at the end, reps
     # through LSH) read; the un-checkpointed surf has exactly one consumer,
     # so the signature UDF still runs once.
+    sc = docs.sparkSession.sparkContext
+    n_acc, b_acc = sc.accumulator(0), sc.accumulator(0)
     surf = spread(keyed).mapInArrow(
-        _keyed_sig_gen(shingle, shingle_k), schema=_KEYED_SCHEMA
+        _keyed_sig_gen(shingle, shingle_k, counters=(n_acc, b_acc)),
+        schema=_KEYED_SCHEMA,
     )
     wh = Window.partitionBy("h")
     surf2 = surf.withColumn("erep", F.min("surface").over(wh)).localCheckpoint()
@@ -456,19 +471,16 @@ def dedup_clusters(
     reps = surf2.filter(F.col("surface") == F.col("erep")).select(
         "surface", "sh_hash", "sig"
     )
-    # payload-join regime probe (executor-side, over the checkpointed rows):
-    # reps within a row+byte budget ship their sig/shingle arrays to the
-    # candidate checks as broadcast hash relations — the (a,b) pair stream
-    # then never shuffles at all; over budget falls back to the shuffled
-    # joins (identical rows either way).
-    stats = bounded_stats(
-        reps,
-        BROADCAST_PAYLOAD_MAX_ROWS,
-        F.octet_length("surface") + 8 * (F.size("sh_hash") + F.size("sig")),
-    )
+    # payload-join regime decision: reps within a row+byte budget ship their
+    # sig/shingle arrays to the candidate checks as broadcast hash relations
+    # — the (a,b) pair stream then never shuffles at all; over budget falls
+    # back to the shuffled joins (identical rows either way). The budgets are
+    # checked against the accumulator totals the signature job just filled —
+    # an upper bound on the rep payload (reps <= all docs; retries only
+    # inflate it), so no separate probe action runs.
     broadcast_payloads = (
-        stats["n"] <= BROADCAST_PAYLOAD_MAX_ROWS
-        and stats["nbytes"] <= BROADCAST_PAYLOAD_MAX_BYTES
+        n_acc.value <= BROADCAST_PAYLOAD_MAX_ROWS
+        and b_acc.value <= BROADCAST_PAYLOAD_MAX_BYTES
     )
     cand = candidate_pairs(
         reps,
@@ -482,7 +494,11 @@ def dedup_clusters(
     edges = verified_edges(cand, threshold=threshold)
     if metrics is not None:
         metrics["n_reps"] = reps.count()
-        metrics["candidate_pairs"] = cand.select("a", "b").count()
+        # distinct pairs, as before round 7: the candidate STREAM now carries
+        # one row per colliding band, so the diagnostic dedups explicitly
+        metrics["candidate_pairs"] = (
+            cand.select("a", "b").dropDuplicates(["a", "b"]).count()
+        )
         edges = edges.localCheckpoint()
         metrics["verified_pairs"] = edges.count()
     # CC runs over edge endpoints only; docs whose rep never touched an edge
@@ -508,7 +524,8 @@ def candidate_pairs(
     est_gate: float | None = None,
     broadcast_payloads: bool = False,
 ) -> DataFrame:
-    """LSH banding self-join -> distinct candidate (a, b) pairs, a < b.
+    """LSH banding self-join -> candidate (a, b) pairs, a < b (one row per
+    colliding band — see the dedup note below; verified_edges dedups).
 
     Scale hygiene:
     - the band join carries ONLY (surface, band keys); shingle-set payloads are
@@ -555,11 +572,16 @@ def candidate_pairs(
         ).drop("_n")
     left = bands.select("band_id", "band_hash", F.col("surface").alias("a"))
     right = bands.select("band_id", "band_hash", F.col("surface").alias("b"))
+    # NOT deduplicated (round 7): a pair colliding in k bands flows to the
+    # gate/verify k times — those checks are idempotent filters, and
+    # re-checking the few repeats costs far less than a corpus-wide
+    # dropDuplicates shuffle of every candidate (measured 2.5x the whole
+    # verify chain). verified_edges dedups the surviving edge set, which is
+    # orders of magnitude smaller than the candidate stream.
     pairs = (
         left.join(right, ["band_id", "band_hash"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .dropDuplicates(["a", "b"])
     )
     def _maybe_bc(df):
         return F.broadcast(df) if broadcast_payloads else df
@@ -594,13 +616,20 @@ def candidate_pairs(
 
 
 def verified_edges(pairs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """Exact Jaccard on full shingle sets — the correctness gate after blocking."""
+    """Exact Jaccard on full shingle sets — the correctness gate after blocking.
+
+    Output is DISTINCT (a, b): candidate_pairs no longer dedups its stream
+    (a pair repeats once per colliding band), so the dedup happens here on
+    the verified edges — the small side by construction — keeping the
+    distributed CC's round-1 shuffle (and the driver collect) sized by true
+    edges, not band multiplicity."""
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
         pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b")
+        .dropDuplicates(["a", "b"])
     )
 
 
@@ -620,13 +649,13 @@ def _py_shingles(surface: str, shingle: str, k: int = 3) -> frozenset[str]:
     return frozenset(_py_grams_of_norm(norm, "token", k))
 
 
-def _driver_canonical_mapping(spark, nodes, known, shingle, threshold):
+def _driver_canonical_mapping(spark, surfaces, known, shingle, threshold):
     """Pure-driver exact mapping for small dictionaries (same semantics as the
     distributed path: exact-Jaccard >= threshold edges, known-group edges,
-    sticky known reps, min-(norm,surface) representative)."""
+    sticky known reps, min-(norm,surface) representative). ``surfaces`` is the
+    ALREADY-COLLECTED node list (the caller's path probe collects it once —
+    round 7 removed the count-then-collect double execution)."""
     from kgx import kernel
-
-    surfaces = [r[0] for r in nodes.collect()]
     known_pairs = (
         [(r["surface"], r["rep"]) for r in known.collect()] if known is not None else []
     )
@@ -948,16 +977,21 @@ def canonical_mapping(
     # size the stage to the dictionary, not the session: a few-thousand-surface
     # dictionary on 64 shuffle partitions means every downstream stage pays for
     # dozens of empty tasks (measured: the whole mapping phase was SLOWER on 32
-    # cores than 8 before this)
-    n = nodes.count()
-    if n <= DRIVER_CANON_MAX_SURFACES:
+    # cores than 8 before this). The path probe collects a bounded
+    # limit(cap+1) slice — ONE job that both decides the path and, on the
+    # driver path, already holds the node list (round 7: count() followed by
+    # a second collect() of the same distinct ran the whole upstream twice).
+    probe = nodes.limit(DRIVER_CANON_MAX_SURFACES + 1).collect()
+    if len(probe) <= DRIVER_CANON_MAX_SURFACES:
         # tiny dictionary: ~10 near-empty distributed jobs cost more scheduler
         # latency than the whole computation — do exact all-pairs on the driver
         # (strictly more candidate recall than LSH blocking, same exact-Jaccard
         # gate, same rep rule)
         return _driver_canonical_mapping(
-            mentions.sparkSession, nodes, known, shingle, JACCARD_THRESHOLD
+            mentions.sparkSession, [r[0] for r in probe], known, shingle,
+            JACCARD_THRESHOLD,
         )
+    n = nodes.count()
     # ~250 surfaces per task: signature computation is ~ms per surface for
     # document-sized strings, so tasks stay in the 0.1-1s sweet spot; capped at
     # 4x parallelism so a billion-surface dictionary doesn't over-split

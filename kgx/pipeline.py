@@ -185,26 +185,43 @@ def canonicalize_proponents(facts: DataFrame, mapping: DataFrame | None = None) 
     if mapping is None:
         mentions = props.select(F.explode("surfaces").alias("surface"))
         # localCheckpoint: the size probe and the chosen rewrite are separate
-        # actions that would otherwise each re-run the whole LSH+CC pipeline
-        mapping = canon.canonical_mapping(mentions).localCheckpoint()
+        # actions that would otherwise each re-run the whole LSH+CC pipeline.
+        # A LOCAL mapping (the driver fast path returns a LocalRelation whose
+        # rows already live on the driver) skips the pin — re-"computing" it
+        # is free and the checkpoint job is pure latency (round 7).
+        mapping = canon.canonical_mapping(mentions)
+        if not mapping.isLocal():
+            mapping = mapping.localCheckpoint()
 
     # regime probe runs EXECUTOR-SIDE before any collect: a dictionary over
     # either budget must route to the join path WITHOUT first being pulled
-    # onto the driver (see kgx.util.bounded_stats for the idiom's rationale)
+    # onto the driver (see kgx.util.bounded_stats for the idiom's rationale).
+    # For a LocalRelation the rows are driver-resident BY CONSTRUCTION, so
+    # collecting them is a no-op and the distributed probe would only add a
+    # job — budget-check the local rows directly instead.
     from kgx.util import bounded_stats
 
-    stats = bounded_stats(
-        mapping,
-        BROADCAST_MAPPING_MAX,
-        F.octet_length("surface") + F.octet_length("rep"),
-    )
-    if (
-        stats["n"] > BROADCAST_MAPPING_MAX
-        or stats["nbytes"] > BROADCAST_MAPPING_MAX_BYTES
-    ):
+    rows = None
+    if mapping.isLocal():
+        rows = mapping.collect()
+        nbytes = sum(
+            len(r["surface"].encode()) + len(r["rep"].encode()) for r in rows
+        )
+        over = len(rows) > BROADCAST_MAPPING_MAX or nbytes > BROADCAST_MAPPING_MAX_BYTES
+    else:
+        stats = bounded_stats(
+            mapping,
+            BROADCAST_MAPPING_MAX,
+            F.octet_length("surface") + F.octet_length("rep"),
+        )
+        over = (
+            stats["n"] > BROADCAST_MAPPING_MAX
+            or stats["nbytes"] > BROADCAST_MAPPING_MAX_BYTES
+        )
+    if over:
         rewritten = _rewrite_join(props, mapping)
     else:
-        rows = mapping.collect()
+        rows = rows if rows is not None else mapping.collect()
         mapping_dict = {
             r["surface"]: r["rep"] for r in rows if r["surface"] != r["rep"]
         }
@@ -344,7 +361,9 @@ def run_checkpointed(
         )
         mentions = m if mentions is None else mentions.unionByName(m)
     known = store.known_entities(spark)
-    mapping = canon.canonical_mapping(mentions, known=known).localCheckpoint()
+    mapping = canon.canonical_mapping(mentions, known=known)
+    if not mapping.isLocal():  # LocalRelation needs no pin (see canonicalize_proponents)
+        mapping = mapping.localCheckpoint()
     # persist BEFORE commits: a run killed mid-phase-C resumes with the exact
     # same representative assignment (mapping is deterministic given its node
     # set, and the saved dictionary carries the full node set forward)
