@@ -162,7 +162,7 @@ def plans(names):
         p = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        out = f"plans/r07/{name}_current.txt"
+        out = f"plans/r07/{name}_after.txt"
         with open(out, "w") as f:
             f.write(p)
         print(out)

@@ -119,21 +119,39 @@ def write_triples_ntriples(triples: DataFrame, path: str) -> None:
     triples.select(line.alias("value")).write.mode("overwrite").text(path)
 
 
+def _lit_decode(col):
+    """Single-pass inverse of the _LIT_ESC chain (round-7 ADVICE fix): the
+    old chained replaces decoded '\\n'/'\\t'/'\\r' BEFORE '\\\\', so a literal
+    backslash followed by n/t/r (e.g. 'C:\\temp\\new', JSON text '"x\\n"')
+    encoded to '\\\\n' and decoded to backslash+NEWLINE — silent corruption.
+    Splitting on the escaped backslash first makes every remaining backslash
+    inside a segment the start of exactly one short escape, so the
+    substitutions are unambiguous; rejoining with '\\' restores the literal
+    backslashes (trailing/adjacent empties kept by the -1 limit)."""
+    segs = F.split(col, r"\\\\", -1)
+    short = [('\\"', '"'), ("\\n", "\n"), ("\\r", "\r"), ("\\t", "\t")]
+    return F.array_join(
+        F.transform(segs, lambda s: _chain_replace(s, short)), "\\"
+    )
+
+
 def read_triples_ntriples(spark: SparkSession, path: str) -> DataFrame:
-    """Parse the lines this sink writes back to (subj, pred, obj). Decoding
-    applies the inverse substitutions in reverse order ('%25' and '\\\\'
-    last), which is what makes encode/decode a bijection."""
+    """Parse the lines this sink writes back to (subj, pred, obj). IRI decode
+    applies the inverse substitutions in reverse order ('%25' last); literal
+    decode is the split-on-escaped-backslash single pass (_lit_decode).
+    Lines not matching the sink's grammar are DROPPED (round-7 ADVICE fix:
+    regexp_extract returns '' on no match, so corrupt/foreign input used to
+    come back as ('','','') garbage triples instead of being filtered)."""
     raw = spark.read.text(path)
     pat = r'^<urn:kgx:(.*?)> <urn:kgx:pred:(.*?)> "(.*)" \.$'
-    parts = raw.select(
+    parts = raw.filter(F.col("value").rlike(pat)).select(
         F.regexp_extract("value", pat, 1).alias("subj_enc"),
         F.regexp_extract("value", pat, 2).alias("pred_enc"),
         F.regexp_extract("value", pat, 3).alias("obj_esc"),
     )
     iri_dec = [(b, a) for a, b in reversed(_IRI_ENC)]
-    lit_dec = [(b, a) for a, b in reversed(_LIT_ESC)]
     return parts.select(
         _chain_replace(F.col("subj_enc"), iri_dec).alias("subj"),
         _chain_replace(F.col("pred_enc"), iri_dec).alias("pred"),
-        _chain_replace(F.col("obj_esc"), lit_dec).alias("obj"),
+        _lit_decode(F.col("obj_esc")).alias("obj"),
     )

@@ -71,6 +71,12 @@ def test_ntriples_roundtrip_adversarial(spark, tmp_path):
         ("tab\there", "p", "line1\nline2\r\ttab"),
         ("uni çé", "p", '{"k": "v\\"}'),
         ("", "empty-subj", ""),
+        # round-7 ADVICE class: literal backslash immediately before n/t/r —
+        # the chained decode turned '\\' + 'n' into a newline
+        ("bs", "p", "C:\\temp\\new\\rows\\this"),
+        ("bs2", "p", '{"a": "x\\n"}'),
+        ("bs3", "p", "end with backslash \\"),
+        ("bs4", "p", "double \\\\n run"),
     ]
     df = spark.createDataFrame(nasty, "subj string, pred string, obj string")
     p = str(tmp_path / "nt_adv")
@@ -81,3 +87,20 @@ def test_ntriples_roundtrip_adversarial(spark, tmp_path):
     # newlines survive into the serialization (one row -> one line)
     lines = spark.read.text(p)
     assert lines.count() == len(nasty)
+
+
+def test_ntriples_read_drops_malformed_lines(spark, tmp_path):
+    """Round-7 ADVICE fix: lines that don't match the sink grammar are
+    dropped, not emitted as ('','','') garbage triples."""
+    p = str(tmp_path / "nt_mixed")
+    lines = [
+        ('<urn:kgx:s> <urn:kgx:pred:p> "ok" .',),
+        ("# a comment line",),
+        ("<http://foreign/iri> <http://foreign/p> <http://foreign/o> .",),
+        ("",),
+    ]
+    spark.createDataFrame(lines, "value string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(p)
+    back = sources.read_triples_ntriples(spark, p).collect()
+    assert [(r.subj, r.pred, r.obj) for r in back] == [("s", "p", "ok")]
