@@ -751,9 +751,14 @@ def connected_components(
         F.octet_length("a") + F.octet_length("b"),
     )
     if stats["n"] <= DRIVER_CC_MAX_EDGES and stats["nbytes"] <= DRIVER_CC_MAX_BYTES:
-        # reads the checkpointed edges, not the upstream pipeline
-        comp = _driver_cc_from_rows(
-            edges.sparkSession, edges.select("a", "b").collect()
+        # reads the checkpointed edges, not the upstream pipeline. The touched
+        # mapping is broadcast-hinted: it passed the same row+byte budget the
+        # collect did, but it reaches the planner as a stats-less RDD scan
+        # (createDataFrame), which otherwise defaults every downstream
+        # equi-join to a two-sided shuffle of a driver-sized table (round 7:
+        # the t07 members join shuffled 50k rows to attach 2.4k components).
+        comp = F.broadcast(
+            _driver_cc_from_rows(edges.sparkSession, edges.select("a", "b").collect())
         )
     else:
         touched = (
