@@ -236,3 +236,44 @@ def test_token_shingles_jvm_parity(spark):
         py = canon._py_grams_of_norm(norm, "token")
         expected = py if len(norm.split()) < 3 else sorted(set(py))
         assert got[s] == expected, (s, got[s], expected)
+
+
+def test_verified_edges_distinct_despite_multiband_candidates(spark):
+    """Round 7: candidate_pairs no longer dedups its stream (a pair repeats
+    once per colliding band); verified_edges must emit each surviving edge
+    exactly once, since CC collects / shuffles that set."""
+    from pyspark.sql import functions as F
+
+    # two identical-ish docs collide in every band -> max pair multiplicity
+    docs = spark.createDataFrame(
+        [("a", "x y z w v u t s"), ("b", "x y z w v u t s r")],
+        "doc_id string, text string",
+    )
+    keyed = docs.select(
+        F.col("doc_id").alias("surface"), F.col("text").alias("_text")
+    )
+    surf = keyed.mapInArrow(
+        canon._keyed_sig_gen("token", 3), schema=canon._KEYED_SCHEMA
+    ).localCheckpoint()
+    reps = surf.select("surface", "sh_hash", "sig")
+    cand = canon.candidate_pairs(reps, est_gate=0.15)
+    n_cand = cand.select("a", "b").count()
+    assert n_cand > 1, "the pair should collide in several bands"
+    edges = canon.verified_edges(cand, threshold=0.4).collect()
+    assert [(r.a, r.b) for r in edges] == [("a", "b")]
+
+
+def test_dedup_payload_budget_falls_back_to_shuffle(spark, monkeypatch):
+    """Round 7: the broadcast-payload budget (fed by the signature job's
+    accumulators) must route oversized payloads to the shuffled joins and
+    produce identical clusters."""
+    rows = [(i, f"doc number {i} says alpha beta gamma delta {i % 3}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    labels = {
+        int(r.doc_id): r.component for r in canon.dedup_clusters(docs).collect()
+    }
+    monkeypatch.setattr(canon, "BROADCAST_PAYLOAD_MAX_ROWS", 0)
+    labels_shuffle = {
+        int(r.doc_id): r.component for r in canon.dedup_clusters(docs).collect()
+    }
+    assert labels == labels_shuffle
