@@ -374,7 +374,7 @@ def _keyed_sig_gen(shingle: str, k: int = 3, counters=None):
                 if counters is not None:
                     counters[0].add(n)
                     counters[1].add(
-                        sum(len(key.encode()) for key in keys)
+                        sum(len(key.encode()) for key in keys if key)
                         + 8 * (int(len(flat)) + n * N_HASHES)
                     )
                 yield pa.RecordBatch.from_arrays(
@@ -701,7 +701,14 @@ def _driver_canonical_mapping(spark, surfaces, known, shingle, threshold):
         cands = [m for m in members if m in known_reps] or members
         rep = min(cands, key=lambda v: (kernel.normalize_surface(v), v))
         rows.extend((m, rep) for m in members)
-    return spark.createDataFrame(rows, "surface string, rep string")
+    df = spark.createDataFrame(rows, "surface string, rep string")
+    # the mapping rows already live on the driver — expose them so consumers
+    # (canonicalize_proponents, run_checkpointed) can skip the localCheckpoint
+    # pin and the distributed size probe, which are pure latency here
+    # (round 7; createDataFrame yields a LogicalRDD, so plan-level isLocal()
+    # cannot express this)
+    df._kgx_driver_rows = rows
+    return df
 
 
 def connected_components(

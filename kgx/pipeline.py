@@ -186,27 +186,24 @@ def canonicalize_proponents(facts: DataFrame, mapping: DataFrame | None = None) 
         mentions = props.select(F.explode("surfaces").alias("surface"))
         # localCheckpoint: the size probe and the chosen rewrite are separate
         # actions that would otherwise each re-run the whole LSH+CC pipeline.
-        # A LOCAL mapping (the driver fast path returns a LocalRelation whose
-        # rows already live on the driver) skips the pin — re-"computing" it
-        # is free and the checkpoint job is pure latency (round 7).
+        # A driver-built mapping carries its rows on the Python object
+        # (_kgx_driver_rows) — re-"computing" it is free, so the checkpoint
+        # job is pure latency and is skipped (round 7).
         mapping = canon.canonical_mapping(mentions)
-        if not mapping.isLocal():
+        if getattr(mapping, "_kgx_driver_rows", None) is None:
             mapping = mapping.localCheckpoint()
 
     # regime probe runs EXECUTOR-SIDE before any collect: a dictionary over
     # either budget must route to the join path WITHOUT first being pulled
     # onto the driver (see kgx.util.bounded_stats for the idiom's rationale).
-    # For a LocalRelation the rows are driver-resident BY CONSTRUCTION, so
-    # collecting them is a no-op and the distributed probe would only add a
-    # job — budget-check the local rows directly instead.
+    # A driver-built mapping's rows are ALREADY driver-resident — collecting
+    # them is a no-op and the distributed probe would only add a job, so the
+    # budget check runs over the attached rows directly (round 7).
     from kgx.util import bounded_stats
 
-    rows = None
-    if mapping.isLocal():
-        rows = mapping.collect()
-        nbytes = sum(
-            len(r["surface"].encode()) + len(r["rep"].encode()) for r in rows
-        )
+    rows = getattr(mapping, "_kgx_driver_rows", None)
+    if rows is not None:
+        nbytes = sum(len(s.encode()) + len(r.encode()) for s, r in rows)
         over = len(rows) > BROADCAST_MAPPING_MAX or nbytes > BROADCAST_MAPPING_MAX_BYTES
     else:
         stats = bounded_stats(
@@ -221,10 +218,9 @@ def canonicalize_proponents(facts: DataFrame, mapping: DataFrame | None = None) 
     if over:
         rewritten = _rewrite_join(props, mapping)
     else:
-        rows = rows if rows is not None else mapping.collect()
-        mapping_dict = {
-            r["surface"]: r["rep"] for r in rows if r["surface"] != r["rep"]
-        }
+        if rows is None:
+            rows = [(r["surface"], r["rep"]) for r in mapping.collect()]
+        mapping_dict = {s: rep for s, rep in rows if s != rep}
         bc = facts.sparkSession.sparkContext.broadcast(mapping_dict)
         rewritten = props.select(
             "url", "warc_ts", "content_sha", "pred", "obj"
@@ -362,7 +358,8 @@ def run_checkpointed(
         mentions = m if mentions is None else mentions.unionByName(m)
     known = store.known_entities(spark)
     mapping = canon.canonical_mapping(mentions, known=known)
-    if not mapping.isLocal():  # LocalRelation needs no pin (see canonicalize_proponents)
+    if getattr(mapping, "_kgx_driver_rows", None) is None:
+        # driver-built mappings need no pin (see canonicalize_proponents)
         mapping = mapping.localCheckpoint()
     # persist BEFORE commits: a run killed mid-phase-C resumes with the exact
     # same representative assignment (mapping is deterministic given its node
